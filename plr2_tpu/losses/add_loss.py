@@ -1,0 +1,116 @@
+"""Confidence-weighted ADD(-S) pose loss.
+
+Re-implements the reference's lib/loss.py `loss_calculation` semantics
+(SURVEY.md section 2 #6), vectorized over the batch (the reference operates
+on batch element 0 only — at its canonical batch_size-1 DataLoader the two
+are identical):
+
+  * per-point predicted pose: R_i from normalized quaternion, candidate
+    translation t_i = points_i + pred_t_i
+  * ADD    : mean_j || (mp @ R_i^T + t_i)_j - target_j ||
+  * ADD-S  : mean_j min_k || (mp @ R_i^T + t_i)_j - target_k ||  (symmetric
+             objects; equals the reference's KNN-gather-then-norm, with the
+             same subgradient)
+  * loss   = mean_i ( dis_i * c_i - w * log c_i )
+  * emits (new_points, new_target) re-centred by the best-confidence
+    hypothesis for the refiner stage, with stop_gradient (reference
+    .detach()).
+
+The sym-object ADD-S reorder is skipped during the refine stage, matching
+the `if not refine:` guard in the reference loss.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from plr2_tpu.geometry.quaternion import normalize_quaternion, quat_to_matrix_df
+from plr2_tpu.ops.knn import chamfer_min_distance, pairwise_sq_dist
+
+
+class PoseLossOut(NamedTuple):
+    loss: jnp.ndarray        # scalar
+    dis: jnp.ndarray         # (B,) distance of the best-confidence hypothesis
+    new_points: jnp.ndarray  # (B, N, 3) cloud re-centred by best pose
+    new_target: jnp.ndarray  # (B, M, 3) target re-centred by best pose
+
+
+def transform_hypotheses(pred_r, pred_t, points, model_points):
+    """Per-point pose hypotheses applied to the mesh model points.
+
+    pred_r (B,N,4) raw quats; pred_t (B,N,3); points (B,N,3) sampled cloud;
+    model_points (B,M,3). Returns (pred (B,N,M,3), rot (B,N,3,3), t (B,N,3)).
+    """
+    q = normalize_quaternion(pred_r)
+    rot = quat_to_matrix_df(q)  # (B, N, 3, 3)
+    t = points + pred_t  # (B, N, 3) candidate translations
+    # pred[b,i,j,l] = sum_k model_points[b,j,k] * rot[b,i,l,k]  (mp @ R^T)
+    pred = jnp.einsum("bjk,bilk->bijl", model_points, rot)
+    return pred + t[:, :, None, :], rot, t
+
+
+def _adds_distance(pred_b, target_b, use_pallas):
+    """pred_b (N, M, 3), target_b (M, 3) -> (N,) symmetric distance."""
+    return jnp.mean(chamfer_min_distance(pred_b, target_b, use_pallas=use_pallas), axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "refine", "use_pallas", "sym_list"),
+)
+def pose_loss(
+    pred_r: jnp.ndarray,       # (B, N, 4)
+    pred_t: jnp.ndarray,       # (B, N, 3)
+    pred_c: jnp.ndarray,       # (B, N, 1)
+    target: jnp.ndarray,       # (B, M, 3) GT-transformed model points
+    model_points: jnp.ndarray, # (B, M, 3)
+    idx: jnp.ndarray,          # (B,) object indices
+    points: jnp.ndarray,       # (B, N, 3) sampled cloud
+    w: float,
+    refine: bool,
+    sym_list: Tuple[int, ...],
+    use_pallas: bool = False,
+) -> PoseLossOut:
+    b, n, _ = pred_r.shape
+    pred, rot, t_cand = transform_hypotheses(pred_r, pred_t, points, model_points)
+    c = pred_c[..., 0]  # (B, N)
+
+    # ADD: paired mean distance
+    dis_add = jnp.mean(
+        jnp.linalg.norm(pred - target[:, None, :, :], axis=-1), axis=-1
+    )  # (B, N)
+
+    if not refine and len(sym_list) > 0:
+        sym_arr = jnp.asarray(sym_list, dtype=idx.dtype)
+        is_sym = jnp.any(idx[:, None] == sym_arr[None, :], axis=-1)  # (B,)
+        dis_adds = jax.vmap(
+            lambda p, t: _adds_distance(p, t, use_pallas)
+        )(pred, target)  # (B, N)
+        dis = jnp.where(is_sym[:, None], dis_adds, dis_add)
+    else:
+        dis = dis_add
+
+    c_safe = jnp.maximum(c, 1e-12)
+    loss = jnp.mean(dis * c - w * jnp.log(c_safe))
+
+    # best-confidence hypothesis per sample -> re-centred outputs for refiner
+    which_max = jnp.argmax(c, axis=-1)  # (B,)
+    take = lambda arr: jnp.take_along_axis(  # noqa: E731
+        arr, which_max[:, None, *([None] * (arr.ndim - 2))], axis=1
+    )[:, 0]
+    best_t = take(t_cand)          # (B, 3)
+    best_rot = take(rot)           # (B, 3, 3)
+    best_dis = take(dis[..., None])[..., 0]  # (B,)
+
+    new_points = jnp.matmul(points - best_t[:, None, :], best_rot)
+    new_target = jnp.matmul(target - best_t[:, None, :], best_rot)
+    return PoseLossOut(
+        loss=loss,
+        dis=best_dis,
+        new_points=jax.lax.stop_gradient(new_points),
+        new_target=jax.lax.stop_gradient(new_target),
+    )

@@ -1,0 +1,71 @@
+"""Nearest-neighbour / chamfer distance ops — the TPU-native equivalent of
+the reference's KNN CUDA extension (upstream lib/knn/, SURVEY.md section 2
+#1), used by the symmetric-object ADD-S loss.
+
+The loss only consumes the *distance to the nearest target point* (the
+reference gathers target rows through the 1-NN index and then takes a norm;
+`min` has identical value and identical gradient — the subgradient flows
+through the argmin element). A Pallas TPU kernel (pallas_knn.py) computes
+the tiled distance + row-min without materializing the full pairwise
+matrix; this module provides the dispatcher and a memory-chunked XLA
+fallback used on CPU and for verification.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(..., P, 3) x (..., M, 3) -> (..., P, M) squared euclidean distances.
+
+    Expressed MXU-style: |a|^2 + |b|^2 - 2 a.b, the inner product being a
+    batched matmul.
+    """
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (..., P, 1)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)  # (..., M, 1)
+    ab = jnp.matmul(a, jnp.swapaxes(b, -1, -2))  # (..., P, M)
+    d2 = a2 - 2.0 * ab + jnp.swapaxes(b2, -1, -2)
+    return jnp.maximum(d2, 0.0)
+
+
+def nn_distance_xla(pred: jnp.ndarray, target: jnp.ndarray,
+                    chunk: int = 128) -> jnp.ndarray:
+    """min_k ||pred_j - target_k|| for each pred point.
+
+    pred: (H, M, 3) per-hypothesis transformed model points;
+    target: (M2, 3) shared target cloud. Returns (H, M).
+    Chunked over hypotheses to bound the live pairwise matrix at
+    chunk * M * M2 floats.
+    """
+    h = pred.shape[0]
+    if h <= chunk:
+        return jnp.sqrt(jnp.min(pairwise_sq_dist(pred, target[None]), axis=-1))
+    pad = (-h) % chunk
+    pred_p = jnp.pad(pred, ((0, pad), (0, 0), (0, 0)))
+    blocks = pred_p.reshape(-1, chunk, *pred.shape[1:])
+
+    def body(block):
+        return jnp.sqrt(jnp.min(pairwise_sq_dist(block, target[None]), axis=-1))
+
+    out = jax.lax.map(body, blocks)
+    return out.reshape(-1, pred.shape[1])[:h]
+
+
+def nn_index(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Argmin index of the nearest target point for each pred point
+    (the reference KNN extension's `inds`, 0-based here)."""
+    return jnp.argmin(pairwise_sq_dist(pred, target), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def chamfer_min_distance(pred: jnp.ndarray, target: jnp.ndarray,
+                         use_pallas: bool = False) -> jnp.ndarray:
+    """Dispatcher: (H, M, 3), (M2, 3) -> (H, M) nearest-target distances."""
+    if use_pallas:
+        from plr2_tpu.ops.pallas_knn import nn_distance_pallas
+        return nn_distance_pallas(pred, target)
+    return nn_distance_xla(pred, target)

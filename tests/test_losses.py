@@ -1,0 +1,161 @@
+"""Loss tests against an independent NumPy oracle implementing the
+reference semantics (per-point hypotheses, confidence weighting, ADD-S via
+brute-force nearest neighbour, best-hypothesis re-centring)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plr2_tpu.losses import pose_loss, refine_loss
+from plr2_tpu.ops import chamfer_min_distance, nn_distance_xla, nn_index, pairwise_sq_dist
+
+
+def _np_quat_to_mat(q):
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    m = np.empty(q.shape[:-1] + (3, 3))
+    m[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    m[..., 0, 1] = 2 * (x * y - w * z)
+    m[..., 0, 2] = 2 * (x * z + w * y)
+    m[..., 1, 0] = 2 * (x * y + w * z)
+    m[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    m[..., 1, 2] = 2 * (y * z - w * x)
+    m[..., 2, 0] = 2 * (x * z - w * y)
+    m[..., 2, 1] = 2 * (y * z + w * x)
+    m[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return m
+
+
+def _np_pose_loss(pred_r, pred_t, pred_c, target, model_points, idx, points,
+                  w, refine, sym_list):
+    """Direct NumPy transcription of the reference loss math (batch loop)."""
+    b, n, _ = pred_r.shape
+    m = model_points.shape[1]
+    all_dis = np.zeros((b, n))
+    for bi in range(b):
+        rot = _np_quat_to_mat(pred_r[bi])  # (N,3,3)
+        t = points[bi] + pred_t[bi]  # (N,3)
+        pred = model_points[bi][None] @ rot.transpose(0, 2, 1) + t[:, None, :]
+        if (not refine) and (idx[bi] in sym_list):
+            # directed chamfer: each pred point to nearest target point
+            d2 = ((pred[:, :, None, :] - target[bi][None, None, :, :]) ** 2).sum(-1)
+            dis = np.sqrt(d2.min(-1)).mean(-1)
+        else:
+            dis = np.linalg.norm(pred - target[bi][None], axis=-1).mean(-1)
+        all_dis[bi] = dis
+    c = pred_c[..., 0]
+    loss = np.mean(all_dis * c - w * np.log(c))
+    which = c.argmax(1)
+    outs = []
+    for bi in range(b):
+        rot = _np_quat_to_mat(pred_r[bi])[which[bi]]
+        t = (points[bi] + pred_t[bi])[which[bi]]
+        np_new = (points[bi] - t) @ rot
+        nt_new = (target[bi] - t) @ rot
+        outs.append((all_dis[bi, which[bi]], np_new, nt_new))
+    return loss, outs
+
+
+@pytest.fixture
+def loss_inputs(rng):
+    b, n, m = 2, 32, 24
+    pred_r = rng.normal(size=(b, n, 4)).astype(np.float32)
+    pred_t = (rng.normal(size=(b, n, 3)) * 0.01).astype(np.float32)
+    pred_c = rng.uniform(0.1, 0.9, size=(b, n, 1)).astype(np.float32)
+    model_points = rng.normal(size=(b, m, 3)).astype(np.float32) * 0.05
+    points = rng.normal(size=(b, n, 3)).astype(np.float32)
+    rot_gt = _np_quat_to_mat(rng.normal(size=(b, 4)))
+    t_gt = rng.normal(size=(b, 1, 3)) * 0.1
+    target = (model_points @ rot_gt.transpose(0, 2, 1) + t_gt).astype(np.float32)
+    idx = np.array([1, 7], dtype=np.int32)  # sample 1 is "symmetric" (7 in list)
+    return pred_r, pred_t, pred_c, target, model_points, idx, points
+
+
+@pytest.mark.parametrize("refine", [False, True])
+def test_pose_loss_matches_numpy_oracle(loss_inputs, refine):
+    pred_r, pred_t, pred_c, target, model_points, idx, points = loss_inputs
+    w, sym = 0.015, (7, 8)
+    ref_loss, ref_outs = _np_pose_loss(
+        pred_r, pred_t, pred_c, target, model_points, idx, points, w, refine, sym)
+    out = pose_loss(
+        *map(jnp.asarray, (pred_r, pred_t, pred_c, target, model_points, idx, points)),
+        w=w, refine=refine, sym_list=sym)
+    np.testing.assert_allclose(float(out.loss), ref_loss, rtol=2e-5)
+    for bi, (rd, rnp, rnt) in enumerate(ref_outs):
+        np.testing.assert_allclose(float(out.dis[bi]), rd, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.new_points)[bi], rnp, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.new_target)[bi], rnt, atol=2e-5)
+
+
+def test_pose_loss_grad_finite_and_flows(loss_inputs):
+    pred_r, pred_t, pred_c, target, model_points, idx, points = loss_inputs
+
+    def f(r, t, c):
+        return pose_loss(r, t, c, *map(jnp.asarray, (target, model_points, idx, points)),
+                         w=0.015, refine=False, sym_list=(7, 8)).loss
+
+    gr, gt, gc = jax.grad(f, argnums=(0, 1, 2))(
+        *map(jnp.asarray, (pred_r, pred_t, pred_c)))
+    for g in (gr, gt, gc):
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).max()) > 0
+
+
+def test_refine_loss_matches_oracle(loss_inputs, rng):
+    _, _, _, target, model_points, idx, points = loss_inputs
+    b = target.shape[0]
+    pred_r = rng.normal(size=(b, 1, 4)).astype(np.float32)
+    pred_t = (rng.normal(size=(b, 1, 3)) * 0.05).astype(np.float32)
+    sym = (7, 8)
+
+    out = refine_loss(
+        *map(jnp.asarray, (pred_r, pred_t, target, model_points, idx, points)),
+        sym_list=sym)
+
+    for bi in range(b):
+        rot = _np_quat_to_mat(pred_r[bi, 0])
+        t = pred_t[bi, 0]
+        pred = model_points[bi] @ rot.T + t
+        if idx[bi] in sym:
+            d2 = ((pred[:, None, :] - target[bi][None, :, :]) ** 2).sum(-1)
+            dis = np.sqrt(d2.min(-1)).mean()
+        else:
+            dis = np.linalg.norm(pred - target[bi], axis=-1).mean()
+        np.testing.assert_allclose(float(out.dis[bi]), dis, rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.new_points)[bi], (points[bi] - t) @ rot, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.new_target)[bi], (target[bi] - t) @ rot, atol=2e-5)
+
+
+def test_chamfer_chunked_equals_direct(rng):
+    pred = jnp.asarray(rng.normal(size=(300, 16, 3)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(24, 3)).astype(np.float32))
+    direct = jnp.sqrt(jnp.min(pairwise_sq_dist(pred, target[None]), axis=-1))
+    chunked = nn_distance_xla(pred, target, chunk=128)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct), atol=1e-5)
+
+
+def test_nn_index_matches_bruteforce(rng):
+    a = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(20, 3)).astype(np.float32))
+    inds = np.asarray(nn_index(a, b))
+    brute = ((np.asarray(a)[:, None, :] - np.asarray(b)[None]) ** 2).sum(-1).argmin(-1)
+    np.testing.assert_array_equal(inds, brute)
+
+
+def test_chamfer_gradient_matches_gather_through_argmin(rng):
+    """jnp.min subgradient == reference's gather-through-argmin backward."""
+    pred = jnp.asarray(rng.normal(size=(1, 8, 3)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(12, 3)).astype(np.float32))
+
+    g_min = jax.grad(lambda p: jnp.sum(chamfer_min_distance(p, target)))(pred)
+
+    def gathered(p):
+        inds = nn_index(p[0], target)
+        matched = target[inds]
+        return jnp.sum(jnp.linalg.norm(p[0] - matched, axis=-1))
+
+    g_gather = jax.grad(gathered)(pred)
+    np.testing.assert_allclose(np.asarray(g_min), np.asarray(g_gather), atol=1e-5)

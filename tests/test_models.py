@@ -1,0 +1,157 @@
+"""Model tests: PyTorch-semantics oracles for the encoder building blocks
+(torch-cpu as the oracle, mirroring the reference's framework), plus shape /
+finiteness / jit checks for PoseNet and PoseRefineNet."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plr2_tpu.models.pspnet import adaptive_avg_pool_2d, bilinear_resize, PSPNet
+from plr2_tpu.models.resnet import DilatedResNet18, _max_pool_3x3_s2
+from plr2_tpu.models.posenet import PoseNet, PoseRefineNet, gather_emb
+
+torch = pytest.importorskip("torch")
+
+
+# ---------- PyTorch-semantics oracles ----------
+
+@pytest.mark.parametrize("hw,out", [(20, 1), (20, 2), (20, 3), (20, 6), (17, 3), (5, 2)])
+def test_adaptive_avg_pool_matches_torch(rng, hw, out):
+    x = rng.normal(size=(2, hw, hw, 8)).astype(np.float32)
+    ours = np.asarray(adaptive_avg_pool_2d(jnp.asarray(x), out))
+    ref = torch.nn.functional.adaptive_avg_pool2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), (out, out)
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("h_in,h_out", [(3, 20), (2, 20), (10, 20), (20, 40)])
+def test_bilinear_resize_matches_torch_no_align_corners(rng, h_in, h_out):
+    x = rng.normal(size=(1, h_in, h_in, 4)).astype(np.float32)
+    ours = np.asarray(bilinear_resize(jnp.asarray(x), h_out, h_out))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(h_out, h_out),
+        mode="bilinear", align_corners=False,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_maxpool_matches_torch(rng):
+    x = rng.normal(size=(1, 40, 40, 4)).astype(np.float32)
+    ours = np.asarray(_max_pool_3x3_s2(jnp.asarray(x)))
+    ref = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 3, stride=2, padding=1
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+# ---------- structural checks ----------
+
+def test_resnet_output_stride_8():
+    m = DilatedResNet18()
+    x = jnp.zeros((1, 80, 80, 3))
+    var = m.init(jax.random.key(0), x)
+    y = m.apply(var, x)
+    assert y.shape == (1, 10, 10, 512)
+
+
+def test_pspnet_full_resolution_embedding():
+    m = PSPNet(emb_dim=32)
+    x = jnp.zeros((1, 80, 80, 3))
+    var = m.init(jax.random.key(0), x)
+    y = m.apply(var, x)
+    assert y.shape == (1, 80, 80, 32)
+    assert bool(jnp.isfinite(y).all())
+    # log_softmax output: logsumexp over channels == 0
+    lse = jax.scipy.special.logsumexp(y, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), 0.0, atol=1e-4)
+
+
+def test_gather_emb(rng):
+    emb_map = jnp.asarray(rng.normal(size=(2, 4, 5, 3)).astype(np.float32))
+    choose = jnp.asarray(rng.integers(0, 20, size=(2, 7)).astype(np.int32))
+    out = gather_emb(emb_map, choose)
+    assert out.shape == (2, 7, 3)
+    flat = np.asarray(emb_map).reshape(2, 20, 3)
+    for b in range(2):
+        for i, c in enumerate(np.asarray(choose)[b]):
+            np.testing.assert_array_equal(np.asarray(out)[b, i], flat[b, c])
+
+
+@pytest.fixture(scope="module")
+def posenet_setup():
+    n, num_obj, hw = 64, 13, 48
+    model = PoseNet(num_points=n, num_objects=num_obj)
+    img = jnp.zeros((2, hw, hw, 3))
+    cloud = jax.random.normal(jax.random.key(1), (2, n, 3))
+    choose = jax.random.randint(jax.random.key(2), (2, n), 0, hw * hw)
+    obj = jnp.array([0, num_obj - 1], dtype=jnp.int32)
+    var = model.init(jax.random.key(0), img, cloud, choose, obj)
+    return model, var, (img, cloud, choose, obj)
+
+
+def test_posenet_shapes_and_ranges(posenet_setup):
+    model, var, args = posenet_setup
+    pred_r, pred_t, pred_c, emb = model.apply(var, *args)
+    b, n = args[1].shape[0], args[1].shape[1]
+    assert pred_r.shape == (b, n, 4)
+    assert pred_t.shape == (b, n, 3)
+    assert pred_c.shape == (b, n, 1)
+    assert emb.shape == (b, n, 32)
+    c = np.asarray(pred_c)
+    assert (c > 0).all() and (c < 1).all()
+    for t in (pred_r, pred_t, pred_c, emb):
+        assert bool(jnp.isfinite(t).all())
+
+
+def test_posenet_object_selection_differs(posenet_setup):
+    """Different obj index must select different head rows."""
+    model, var, (img, cloud, choose, _) = posenet_setup
+    r0, *_ = model.apply(var, img, cloud, choose, jnp.array([0, 0]))
+    r1, *_ = model.apply(var, img, cloud, choose, jnp.array([1, 1]))
+    assert not np.allclose(np.asarray(r0), np.asarray(r1))
+
+
+def test_posenet_jit_and_grad(posenet_setup):
+    model, var, args = posenet_setup
+
+    @jax.jit
+    def loss_fn(params):
+        pred_r, pred_t, pred_c, _ = model.apply({"params": params, **{k: v for k, v in var.items() if k != "params"}}, *args)
+        return jnp.sum(pred_r ** 2) + jnp.sum(pred_t ** 2) + jnp.sum(pred_c)
+
+    g = jax.grad(loss_fn)(var["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+    # gradient must reach the CNN trunk
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    cnn_norms = [float(jnp.abs(v).max()) for p, v in flat if "cnn" in str(p)]
+    assert max(cnn_norms) > 0
+
+
+def test_refinenet_shapes():
+    n, num_obj = 64, 13
+    model = PoseRefineNet(num_points=n, num_objects=num_obj)
+    cloud = jax.random.normal(jax.random.key(1), (2, n, 3))
+    emb = jax.random.normal(jax.random.key(2), (2, n, 32))
+    obj = jnp.array([3, 7], dtype=jnp.int32)
+    var = model.init(jax.random.key(0), cloud, emb, obj)
+    pred_r, pred_t = model.apply(var, cloud, emb, obj)
+    assert pred_r.shape == (2, 1, 4)
+    assert pred_t.shape == (2, 1, 3)
+    assert bool(jnp.isfinite(pred_r).all() and jnp.isfinite(pred_t).all())
+
+
+def test_posenet_param_count_ladder(posenet_setup):
+    """Dimension ladder sanity: key layer shapes match the reference contract."""
+    _, var, _ = posenet_setup
+    p = var["params"]
+    assert p["feat"]["conv1"]["kernel"].shape == (3, 64)
+    assert p["feat"]["e_conv1"]["kernel"].shape == (32, 64)
+    assert p["feat"]["conv5"]["kernel"].shape == (256, 512)
+    assert p["feat"]["conv6"]["kernel"].shape == (512, 1024)
+    assert p["conv1_r"]["kernel"].shape == (1408, 640)
+    assert p["conv4_r"]["kernel"].shape == (128, 13 * 4)
+    assert p["conv4_t"]["kernel"].shape == (128, 13 * 3)
+    assert p["conv4_c"]["kernel"].shape == (128, 13 * 1)
