@@ -1,0 +1,134 @@
+"""YCB-Video dataset loader (21 objects, 1000 points — SURVEY.md section 2 #8).
+
+Layout (upstream YCB_Video_Dataset):
+  root/data/NNNN/NNNNNN-{color.png,depth.png,label.png,meta.mat}
+  root/data_syn/NNNNNN-{...}            # synthetic renders
+  root/dataset_config/classes.txt        # 21 class names
+  root/dataset_config/train_data_list.txt / test_data_list.txt
+  root/models/<class>/points.xyz         # model point clouds (metres)
+
+meta.mat fields: poses (3,4,K), cls_indexes (K,), factor_depth, intrinsic_matrix.
+Two camera intrinsics sets: sequences 0000-0059 use cam_1, >=0060 cam_2
+(the reference hard-codes both). Synthetic frames are composited onto a
+random real frame's background when real frames are available.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+CAM_1 = dict(cx=312.9869, cy=241.3109, fx=1066.778, fy=1067.487, cam_scale=10000.0)
+CAM_2 = dict(cx=323.7872, cy=279.6921, fx=1077.836, fy=1078.189, cam_scale=10000.0)
+SYM_OBJ_IDX = (12, 15, 18, 19, 20)
+NUM_OBJECTS = 21
+
+
+def load_points_xyz(path: str) -> np.ndarray:
+    return np.loadtxt(path, dtype=np.float32)
+
+
+class YCBDataset:
+    """Index over (frame, object-in-frame) pairs from the data lists."""
+
+    def __init__(self, root: str, mode: str = "train", num_points: int = 1000,
+                 num_mesh_points: int = 500, add_noise: bool = True,
+                 noise_trans: float = 0.03, seed: int = 0):
+        self.root = root
+        self.mode = mode
+        self.num_points = num_points
+        self.add_noise = add_noise and mode == "train"
+        self.noise_trans = noise_trans
+        rng = np.random.default_rng(seed)
+
+        list_file = os.path.join(
+            root, "dataset_config",
+            "train_data_list.txt" if mode == "train" else "test_data_list.txt")
+        with open(list_file) as f:
+            self.frames = [l.strip() for l in f if l.strip()]
+        self.real_frames = [p for p in self.frames if not p.startswith("data_syn")]
+
+        classes_file = os.path.join(root, "dataset_config", "classes.txt")
+        with open(classes_file) as f:
+            self.classes = [l.strip() for l in f if l.strip()]
+
+        self.model_points: Dict[int, np.ndarray] = {}
+        for ci, cname in enumerate(self.classes):
+            xyz = os.path.join(root, "models", cname, "points.xyz")
+            if os.path.exists(xyz):
+                pts = load_points_xyz(xyz)
+                if len(pts) > num_mesh_points:
+                    keep = rng.choice(len(pts), num_mesh_points, replace=False)
+                    keep.sort()
+                    pts = pts[keep]
+                self.model_points[ci] = pts
+
+        # flat index over (frame, object) — each object in a frame is a sample
+        self.items: List[Dict] = []
+        for fp in self.frames:
+            self.items.append({"frame": fp})
+
+        if not self.items:
+            raise FileNotFoundError(f"no YCB data lists under {root!r}")
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def _intrinsics(self, frame_path: str) -> Dict[str, float]:
+        if frame_path.startswith("data_syn"):
+            return CAM_1
+        seq = int(frame_path.split("/")[1])
+        return CAM_1 if seq < 60 else CAM_2
+
+    def get_frame(self, i: int) -> Dict:
+        """Decode a full frame: color/depth/label + all object poses."""
+        import scipy.io as sio
+        from PIL import Image
+
+        fp = self.items[i]["frame"]
+        base = os.path.join(self.root, fp)
+        color = np.asarray(Image.open(base + "-color.png").convert("RGB"))
+        depth = np.asarray(Image.open(base + "-depth.png"), dtype=np.float32)
+        label = np.asarray(Image.open(base + "-label.png"), dtype=np.int32)
+        meta = sio.loadmat(base + "-meta.mat")
+        cls_indexes = meta["cls_indexes"].flatten().astype(np.int32)
+        poses = meta["poses"]  # (3, 4, K)
+        intr = dict(self._intrinsics(fp))
+        intr["cam_scale"] = float(meta["factor_depth"].flatten()[0])
+
+        if fp.startswith("data_syn") and self.real_frames:
+            # composite synthetic foreground over a random real background
+            rng = np.random.default_rng(i)
+            bg_path = os.path.join(
+                self.root, self.real_frames[rng.integers(len(self.real_frames))])
+            bg = np.asarray(Image.open(bg_path + "-color.png").convert("RGB"))
+            fg = label > 0
+            color = np.where(fg[..., None], color, bg)
+
+        objects = {}
+        for k, ci in enumerate(cls_indexes):
+            objects[int(ci) - 1] = {  # cls_indexes are 1-based
+                "target_r": poses[:, :3, k].astype(np.float32),
+                "target_t": poses[:, 3, k].astype(np.float32),
+            }
+        return dict(color=color, depth=depth, label=label, objects=objects,
+                    intrinsics=intr)
+
+    def get_raw(self, i: int, obj_idx: Optional[int] = None) -> Dict:
+        """One (frame, object) sample in the common raw-dict format."""
+        fr = self.get_frame(i)
+        objs = sorted(fr["objects"])
+        if obj_idx is None:
+            rng = np.random.default_rng(i)
+            obj_idx = objs[rng.integers(len(objs))]
+        pose = fr["objects"][obj_idx]
+        mask = (fr["label"] == obj_idx + 1) & (fr["depth"] > 0)
+        return dict(
+            color=fr["color"], depth=fr["depth"], mask=mask,
+            target_r=pose["target_r"], target_t=pose["target_t"],
+            model_points=self.model_points[obj_idx],
+            obj_idx=obj_idx,
+            intrinsics=fr["intrinsics"],
+        )

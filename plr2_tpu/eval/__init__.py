@@ -1,0 +1,8 @@
+from plr2_tpu.eval.metrics import (  # noqa: F401
+    add_distance,
+    adds_distance,
+    pose_distance,
+    success_rate,
+    compute_auc,
+)
+from plr2_tpu.eval.evaluator import evaluate, EvalResult  # noqa: F401

@@ -1,0 +1,84 @@
+"""Evaluation drivers — the reference's tools/eval_linemod.py and
+tools/eval_ycb.py (SURVEY.md sections 3.2/3.3) re-built over the jitted
+pipeline: per sample, run PoseNet + on-device refinement, measure ADD(-S)
+against the ground-truth-posed model points, aggregate per object.
+
+LineMOD protocol: success = dis < 0.1 * object diameter (ADD; ADD-S for
+symmetric objects). YCB protocol: ADD-S AUC (<0.1 m) and <2 cm rate over
+all (frame, object) samples.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from plr2_tpu.data.loader import raw_to_sample
+from plr2_tpu.eval.metrics import compute_auc, pose_distance, success_rate
+from plr2_tpu.pipeline import DenseFusionPipeline
+
+
+@dataclass
+class EvalResult:
+    per_object_success: Dict[int, float] = field(default_factory=dict)
+    mean_success: float = 0.0
+    auc: float = 0.0
+    under_2cm: float = 0.0
+    mean_distance: float = 0.0
+    num_samples: int = 0
+
+
+def _estimate_sample(pipe, variables, s, refine_iterations):
+    est = pipe.estimate(
+        variables,
+        s.img[None], s.points[None], s.choose[None], s.idx[None],
+        refine_iterations=refine_iterations)
+    return est.quat[0], est.trans[0]
+
+
+def evaluate(
+    pipe: DenseFusionPipeline,
+    variables,
+    dataset,
+    sym_list: Tuple[int, ...],
+    refine_iterations: int = 2,
+    diameters: Optional[Dict[int, float]] = None,
+    num_points: Optional[int] = None,
+    max_samples: Optional[int] = None,
+    seed: int = 0,
+) -> EvalResult:
+    """Run the full eval protocol over `dataset` (any get_raw provider)."""
+    n_pts = num_points or pipe.num_points
+    key = jax.random.key(seed)
+    dists: List[float] = []
+    per_obj: Dict[int, List[float]] = {}
+
+    n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
+    for i in range(n):
+        raw = dataset.get_raw(i)
+        key, sub = jax.random.split(key)
+        s = raw_to_sample(raw, sub, n_pts, add_noise=False)
+        q, t = _estimate_sample(pipe, variables, s, refine_iterations)
+        obj = int(raw["obj_idx"])
+        dis = float(pose_distance(s.model_points, q, t, s.target,
+                                  symmetric=obj in sym_list))
+        dists.append(dis)
+        per_obj.setdefault(obj, []).append(dis)
+
+    result = EvalResult(num_samples=len(dists))
+    if not dists:
+        return result
+    result.mean_distance = float(np.mean(dists))
+    result.auc = compute_auc(dists)
+    result.under_2cm = success_rate(dists, 0.02)
+    if diameters:
+        succ = {
+            obj: success_rate(d, 0.1 * diameters.get(obj, 0.1))
+            for obj, d in per_obj.items()
+        }
+        result.per_object_success = succ
+        result.mean_success = float(np.mean(list(succ.values())))
+    return result

@@ -1,0 +1,10 @@
+from plr2_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)
+from plr2_tpu.parallel.data_parallel import (  # noqa: F401
+    make_train_step,
+    make_inference_step,
+)

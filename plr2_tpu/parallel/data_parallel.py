@@ -1,0 +1,107 @@
+"""Batched, mesh-sharded training and inference steps.
+
+`make_train_step` builds a single-XLA-program training step over a batch:
+PoseNet forward (train-mode BN), confidence-weighted ADD(-S) loss, grads.
+Under a mesh, inputs are sharded over the `data` axis and parameters are
+replicated; XLA inserts the ICI all-reduce for the gradient mean. This is
+the throughput-oriented counterpart of the reference-faithful per-sample
+accumulation loop in train/trainer.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from plr2_tpu.losses.add_loss import pose_loss
+from plr2_tpu.losses.refine_loss import refine_loss
+from plr2_tpu.pipeline import DenseFusionPipeline
+
+
+def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
+                    w: float, lr: float, refine_iterations: int = 0,
+                    mesh=None):
+    """Returns (init_opt_state, train_step). train_step signature:
+    (variables, opt_state, batch) -> (variables, opt_state, metrics).
+
+    batch = dict(img, points, choose, target, model_points, idx) with a
+    leading batch axis. With `mesh`, in/out shardings pin the batch to the
+    `data` axis and everything else replicated.
+    """
+    tx = optax.adam(lr)
+
+    def init_opt_state(variables):
+        return tx.init(variables["posenet"]["params"])
+
+    def _loss(params, batch_stats, refiner_params, batch, dropout_key):
+        (pred_r, pred_t, pred_c, emb), mutated = pipe.posenet.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["img"], batch["points"], batch["choose"], batch["idx"],
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_key})
+        out = pose_loss(pred_r, pred_t, pred_c, batch["target"],
+                        batch["model_points"], batch["idx"], batch["points"],
+                        w=w, refine=refine_iterations > 0, sym_list=sym_list)
+        loss = out.loss
+        if refine_iterations > 0:
+            new_points, new_target = out.new_points, out.new_target
+            for _ in range(refine_iterations):
+                dr, dt = pipe.refiner.apply(
+                    {"params": refiner_params}, new_points, emb, batch["idx"])
+                ro = refine_loss(dr, dt, new_target, batch["model_points"],
+                                 batch["idx"], new_points, sym_list=sym_list)
+                new_points, new_target = ro.new_points, ro.new_target
+                loss = loss + jnp.mean(ro.dis)
+        return loss, (mutated["batch_stats"], jnp.mean(out.dis))
+
+    def train_step(variables, opt_state, batch, dropout_key):
+        pn = variables["posenet"]
+        refiner_params = variables["refiner"]["params"]
+        (loss, (bs, dis)), grads = jax.value_and_grad(
+            _loss, has_aux=True)(pn["params"], pn["batch_stats"],
+                                 refiner_params, batch, dropout_key)
+        updates, opt_state = tx.update(grads, opt_state, pn["params"])
+        new_params = optax.apply_updates(pn["params"], updates)
+        variables = {
+            "posenet": {"params": new_params, "batch_stats": bs},
+            "refiner": variables["refiner"],
+        }
+        return variables, opt_state, {"loss": loss, "dis": dis}
+
+    if mesh is None:
+        return init_opt_state, jax.jit(train_step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    batch_shardings = {k: data for k in
+                       ("img", "points", "choose", "target", "model_points", "idx")}
+    step = jax.jit(
+        train_step,
+        in_shardings=(repl, repl, batch_shardings, repl),
+        out_shardings=(repl, repl, repl),
+    )
+    return init_opt_state, step
+
+
+def make_inference_step(pipe: DenseFusionPipeline, refine_iterations: int = 2,
+                        mesh=None):
+    """Batched pose-estimation step, batch-sharded under a mesh."""
+
+    def infer(variables, img, points, choose, idx):
+        return pipe.estimate(variables, img, points, choose, idx,
+                             refine_iterations=refine_iterations)
+
+    if mesh is None:
+        return jax.jit(infer)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(infer,
+                   in_shardings=(repl, data, data, data, data),
+                   out_shardings=data)

@@ -1,0 +1,48 @@
+"""Device-mesh sharding for multi-chip scaling.
+
+The reference is single-GPU (SURVEY.md section 2, parallelism table); its
+only parallelism is CPU DataLoader workers. The TPU build scales via SPMD:
+a `jax.sharding.Mesh` with a `data` axis, batch-sharded inputs, replicated
+parameters, and XLA-inserted all-reduces over ICI for the gradient sum.
+Tensor/pipeline axes are unnecessary at this model size (<30 M params) but
+the mesh helper accepts extra axes so the same code scales shapes if ever
+needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """1-D (or reshaped) mesh over the first `n_devices` devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = np.asarray(devs[:n])
+    if len(axis_names) == 1:
+        shape = (n,)
+    else:
+        # fold all devices into the leading axis by default
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    return Mesh(devs.reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the `data` mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a pytree of batched arrays with batch-axis sharding."""
+    bs = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, bs), tree)

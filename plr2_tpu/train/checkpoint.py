@@ -1,0 +1,65 @@
+"""Orbax checkpointing with the reference's best-metric gating semantics
+(torch.save of epoch-best state dicts, resume via flags — SURVEY.md
+section 5.4)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Saves {posenet, refiner} variables + curriculum scalars; keeps the
+    best-by-test-distance checkpoint like the reference's
+    pose_model_<epoch>_<dis>.pth naming."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def save(self, state, test_dis: float, tag: str = "best") -> str:
+        path = os.path.join(self.directory, tag)
+        payload = {
+            "variables": _to_numpy_tree(state.variables),
+            "meta": {
+                "lr": state.lr,
+                "w": state.w,
+                "decay_started": int(state.decay_started),
+                "refine_started": int(state.refine_started),
+                "best_test": float(min(state.best_test, test_dis)),
+                "epoch": state.epoch,
+            },
+        }
+        self._ckptr.save(path, payload, force=True)
+        return path
+
+    def restore(self, tag: str = "best") -> Optional[Dict[str, Any]]:
+        path = os.path.join(self.directory, tag)
+        if not os.path.exists(path):
+            return None
+        return self._ckptr.restore(path)
+
+    def restore_into(self, state, tag: str = "best"):
+        """Resume: load variables + curriculum scalars into a TrainState."""
+        payload = self.restore(tag)
+        if payload is None:
+            return state
+        state.variables = payload["variables"]
+        meta = payload["meta"]
+        state.lr = float(meta["lr"])
+        state.w = float(meta["w"])
+        state.decay_started = bool(meta["decay_started"])
+        state.refine_started = bool(meta["refine_started"])
+        state.best_test = float(meta["best_test"])
+        state.epoch = int(meta["epoch"])
+        return state

@@ -1,0 +1,245 @@
+"""Curriculum trainer — the reference's tools/train.py semantics
+(SURVEY.md sections 2 #11, 5.6) rebuilt functionally:
+
+  * Adam on PoseNet with per-sample gradient accumulation (`opt.step()`
+    every `batch_size` samples; gradients are SUMMED, as the reference's
+    repeated loss.backward() does)
+  * when best test distance < decay_margin: lr *= lr_rate, w *= w_rate
+    (once)
+  * when best test distance < refine_margin: switch the optimizer to
+    PoseRefineNet parameters, divide the accumulation size by the number
+    of refine iterations, and train the refiner on the chained per-
+    iteration ADD(-S) distances (PoseNet frozen, matching the reference's
+    optimizer-on-refiner-only behavior)
+  * per-epoch test loop drives the schedule and best-checkpoint saving
+
+All gradient work is jitted; the curriculum switches are host-side Python
+per epoch, exactly where the reference keeps them (data-dependent optimizer
+swaps don't belong inside jit — SURVEY.md 'hard parts' (e)).
+
+BatchNorm runs in training mode with running-average updates (the
+reference's torch BN behavior at batch 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from plr2_tpu.config import PipelineConfig
+from plr2_tpu.data.loader import iterate_samples
+from plr2_tpu.losses.add_loss import pose_loss
+from plr2_tpu.losses.refine_loss import refine_loss
+from plr2_tpu.pipeline import DenseFusionPipeline
+
+
+@dataclasses.dataclass
+class TrainState:
+    variables: Dict[str, Any]           # {"posenet": vars, "refiner": vars}
+    opt_state: Any
+    lr: float
+    w: float
+    decay_started: bool = False
+    refine_started: bool = False
+    best_test: float = float("inf")
+    epoch: int = 0
+
+
+class Trainer:
+    def __init__(self, config: PipelineConfig, pipe: Optional[DenseFusionPipeline] = None):
+        self.cfg = config
+        self.pipe = pipe or DenseFusionPipeline(
+            num_points=config.model.num_points,
+            num_objects=config.model.num_objects)
+        self.sym_list = tuple(config.dataset.sym_list)
+
+    # ---------- state ----------
+
+    def init_state(self, key, crop_hw: int = 160) -> TrainState:
+        variables = self.pipe.init(key, crop_hw=crop_hw, batch=1)
+        tx = self._make_opt(self.cfg.train.lr)
+        opt_state = tx.init(variables["posenet"]["params"])
+        return TrainState(variables=variables, opt_state=opt_state,
+                          lr=self.cfg.train.lr, w=self.cfg.train.w)
+
+    def _make_opt(self, lr: float) -> optax.GradientTransformation:
+        return optax.adam(lr)
+
+    # ---------- jitted steps ----------
+
+    @functools.partial(jax.jit, static_argnames=("self", "w", "refine"))
+    def posenet_grads(self, variables, img, cloud, choose, target,
+                      model_points, obj, w: float, refine: bool):
+        """Per-sample grads for the PoseNet stage; returns (grads,
+        new_batch_stats, loss, dis)."""
+        pn = variables["posenet"]
+
+        def loss_fn(params):
+            (pred_r, pred_t, pred_c, _), mutated = self.pipe.posenet.apply(
+                {"params": params, "batch_stats": pn["batch_stats"]},
+                img, cloud, choose, obj, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(0)})
+            out = pose_loss(pred_r, pred_t, pred_c, target, model_points,
+                            obj, cloud, w=w, refine=refine,
+                            sym_list=self.sym_list)
+            return out.loss, (mutated["batch_stats"], out.dis)
+
+        (loss, (bs, dis)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(pn["params"])
+        return grads, bs, loss, jnp.mean(dis)
+
+    @functools.partial(jax.jit, static_argnames=("self", "w", "iterations"))
+    def refine_grads(self, variables, img, cloud, choose, target,
+                     model_points, obj, w: float, iterations: int):
+        """Joint-stage grads: PoseNet forward (train-mode BN update), then
+        `iterations` refiner steps; loss = summed per-iteration distances,
+        grads w.r.t. refiner params only."""
+        pn = variables["posenet"]
+        (pred_r, pred_t, pred_c, emb), mutated = self.pipe.posenet.apply(
+            {"params": pn["params"], "batch_stats": pn["batch_stats"]},
+            img, cloud, choose, obj, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(0)})
+        first = pose_loss(pred_r, pred_t, pred_c, target, model_points, obj,
+                          cloud, w=w, refine=True, sym_list=self.sym_list)
+
+        def loss_fn(refiner_params):
+            def body(carry, _):
+                new_points, new_target, acc = carry
+                dr, dt = self.pipe.refiner.apply(
+                    {"params": refiner_params}, new_points,
+                    jax.lax.stop_gradient(emb), obj)
+                out = refine_loss(dr, dt, new_target, model_points, obj,
+                                  new_points, sym_list=self.sym_list)
+                return (out.new_points, out.new_target,
+                        acc + jnp.mean(out.dis)), jnp.mean(out.dis)
+
+            (_, _, total), per_iter = jax.lax.scan(
+                body, (first.new_points, first.new_target, 0.0), None,
+                length=iterations)
+            return total, per_iter[-1]
+
+        (total, last_dis), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["refiner"]["params"])
+        return grads, mutated["batch_stats"], total, last_dis
+
+    @functools.partial(jax.jit, static_argnames=("self", "refine_iterations"))
+    def eval_dis(self, variables, img, cloud, choose, target, model_points,
+                 obj, refine_iterations: int = 0):
+        """Test-loop distance (eval-mode BN, best-hypothesis (+refined) pose)."""
+        pred_r, pred_t, pred_c, emb = self.pipe.posenet.apply(
+            variables["posenet"], img, cloud, choose, obj)
+        out = pose_loss(pred_r, pred_t, pred_c, target, model_points, obj,
+                        cloud, w=0.0, refine=True, sym_list=self.sym_list)
+        if refine_iterations == 0:
+            return out.dis
+        new_points, new_target = out.new_points, out.new_target
+        dis = out.dis
+        for _ in range(refine_iterations):
+            dr, dt = self.pipe.refiner.apply(
+                variables["refiner"], new_points, emb, obj)
+            ro = refine_loss(dr, dt, new_target, model_points, obj,
+                             new_points, sym_list=self.sym_list)
+            new_points, new_target, dis = ro.new_points, ro.new_target, ro.dis
+        return dis
+
+    # ---------- epoch loops ----------
+
+    def train_epoch(self, state: TrainState, dataset, key) -> Tuple[TrainState, Dict]:
+        cfg = self.cfg.train
+        accum = max(1, cfg.batch_size // (cfg.refine_iterations
+                                          if state.refine_started else 1))
+        tx = self._make_opt(state.lr)
+        target_params = ("refiner" if state.refine_started else "posenet")
+
+        grads_sum = None
+        count = 0
+        losses, dists = [], []
+        t0 = time.time()
+        for rep in range(cfg.repeat_epoch):
+            for s in iterate_samples(dataset, jax.random.fold_in(key, rep),
+                                     self.cfg.model.num_points,
+                                     add_noise=self.cfg.dataset.add_noise,
+                                     shuffle=True, seed=state.epoch * 997 + rep):
+                args = (state.variables, s.img[None], s.points[None],
+                        s.choose[None], s.target[None], s.model_points[None],
+                        s.idx[None])
+                if state.refine_started:
+                    grads, bs, loss, dis = self.refine_grads(
+                        *args, w=state.w, iterations=cfg.refine_iterations)
+                else:
+                    grads, bs, loss, dis = self.posenet_grads(
+                        *args, w=state.w, refine=False)
+                state.variables["posenet"]["batch_stats"] = bs
+                grads_sum = grads if grads_sum is None else jax.tree_util.tree_map(
+                    jnp.add, grads_sum, grads)
+                count += 1
+                losses.append(float(loss))
+                dists.append(float(dis))
+                if count >= accum:
+                    params = state.variables[target_params]["params"]
+                    updates, state.opt_state = tx.update(
+                        grads_sum, state.opt_state, params)
+                    state.variables[target_params]["params"] = optax.apply_updates(
+                        params, updates)
+                    grads_sum, count = None, 0
+        return state, {
+            "train_loss": float(jnp.mean(jnp.asarray(losses))) if losses else 0.0,
+            "train_dis": float(jnp.mean(jnp.asarray(dists))) if dists else 0.0,
+            "seconds": time.time() - t0,
+        }
+
+    def test_epoch(self, state: TrainState, dataset, key) -> float:
+        dists = []
+        refine_iters = (self.cfg.train.refine_iterations
+                        if state.refine_started else 0)
+        for s in iterate_samples(dataset, key, self.cfg.model.num_points,
+                                 add_noise=False):
+            dis = self.eval_dis(
+                state.variables, s.img[None], s.points[None], s.choose[None],
+                s.target[None], s.model_points[None], s.idx[None],
+                refine_iterations=refine_iters)
+            dists.append(float(jnp.mean(dis)))
+        return float(jnp.mean(jnp.asarray(dists))) if dists else float("inf")
+
+    def update_curriculum(self, state: TrainState, test_dis: float) -> TrainState:
+        """Host-side schedule: decay and refine switches (reference flags)."""
+        cfg = self.cfg.train
+        if test_dis < state.best_test:
+            state.best_test = test_dis
+        if state.best_test < cfg.decay_margin and not state.decay_started:
+            state.decay_started = True
+            state.lr *= cfg.lr_rate
+            state.w *= cfg.w_rate
+            state.opt_state = self._make_opt(state.lr).init(
+                state.variables["posenet"]["params"])
+        if state.best_test < cfg.refine_margin and not state.refine_started:
+            state.refine_started = True
+            state.opt_state = self._make_opt(state.lr).init(
+                state.variables["refiner"]["params"])
+        return state
+
+    def fit(self, state: TrainState, train_ds, test_ds, key,
+            epochs: Optional[int] = None, log_fn=print,
+            checkpoint_fn=None) -> TrainState:
+        epochs = epochs or self.cfg.train.nepoch
+        for _ in range(epochs):
+            state.epoch += 1
+            key, k1, k2 = jax.random.split(key, 3)
+            state, info = self.train_epoch(state, train_ds, k1)
+            test_dis = self.test_epoch(state, test_ds, k2)
+            improved = test_dis < state.best_test
+            state = self.update_curriculum(state, test_dis)
+            log_fn(f"epoch {state.epoch}: loss={info['train_loss']:.5f} "
+                   f"train_dis={info['train_dis']:.5f} test_dis={test_dis:.5f} "
+                   f"best={state.best_test:.5f} lr={state.lr:g} w={state.w:g} "
+                   f"refine={state.refine_started} ({info['seconds']:.1f}s)")
+            if improved and checkpoint_fn is not None:
+                checkpoint_fn(state, test_dis)
+        return state

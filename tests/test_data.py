@@ -1,0 +1,185 @@
+"""Data layer tests: bbox snapping, choose sampling semantics, fused
+preprocessing correctness on synthetic frames with known poses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plr2_tpu.data import (
+    BORDER_LIST,
+    get_bbox_from_mask,
+    snap_bbox,
+    sample_choose,
+    SyntheticPoseDataset,
+    raw_to_sample,
+    stack_samples,
+)
+from plr2_tpu.data.synthetic import make_scene, box_model_points
+from plr2_tpu.geometry.pointcloud import transform_points
+
+
+# ---------- bbox ----------
+
+def _np_reference_bbox(mask, img_h=480, img_w=640):
+    """Independent transcription of the reference get_bbox for cross-check."""
+    rows = np.any(mask, axis=1)
+    cols = np.any(mask, axis=0)
+    rmin, rmax = np.flatnonzero(rows)[[0, -1]]
+    cmin, cmax = np.flatnonzero(cols)[[0, -1]]
+    rmax += 1
+    cmax += 1
+    r_b = rmax - rmin
+    for tt in range(len(BORDER_LIST) - 1):
+        if BORDER_LIST[tt] < r_b <= BORDER_LIST[tt + 1]:
+            r_b = BORDER_LIST[tt + 1]
+            break
+    c_b = cmax - cmin
+    for tt in range(len(BORDER_LIST) - 1):
+        if BORDER_LIST[tt] < c_b <= BORDER_LIST[tt + 1]:
+            c_b = BORDER_LIST[tt + 1]
+            break
+    center = [int((rmin + rmax) / 2), int((cmin + cmax) / 2)]
+    rmin, rmax = center[0] - r_b // 2, center[0] + r_b // 2
+    cmin, cmax = center[1] - c_b // 2, center[1] + c_b // 2
+    if rmin < 0:
+        rmax -= rmin
+        rmin = 0
+    if cmin < 0:
+        cmax -= cmin
+        cmin = 0
+    if rmax > img_h:
+        rmin -= rmax - img_h
+        rmax = img_h
+    if cmax > img_w:
+        cmin -= cmax - img_w
+        cmax = img_w
+    return rmin, rmax, cmin, cmax
+
+
+def test_bbox_sizes_are_border_list_values(rng):
+    for _ in range(20):
+        mask = np.zeros((480, 640), bool)
+        r0, c0 = rng.integers(0, 400), rng.integers(0, 560)
+        h, w = rng.integers(3, 200), rng.integers(3, 200)
+        mask[r0:r0 + h, c0:c0 + w] = True
+        rmin, rmax, cmin, cmax = get_bbox_from_mask(mask)
+        assert (rmax - rmin) in BORDER_LIST[1:]
+        assert (cmax - cmin) in BORDER_LIST[1:]
+        assert 0 <= rmin < rmax <= 480 and 0 <= cmin < cmax <= 640
+        # window contains the (canvas-clipped) mask
+        r1, c1 = min(r0 + h, 480), min(c0 + w, 640)
+        assert rmin <= r0 and rmax >= r1 and cmin <= c0 and cmax >= c1
+        assert (rmin, rmax, cmin, cmax) == _np_reference_bbox(mask)
+
+
+def test_bbox_edge_clamping():
+    mask = np.zeros((480, 640), bool)
+    mask[0:30, 610:640] = True  # corner blob
+    rmin, rmax, cmin, cmax = get_bbox_from_mask(mask)
+    assert rmin == 0 and cmax == 640
+    assert (rmax - rmin) == 40 and (cmax - cmin) == 40
+
+
+# ---------- choose sampling ----------
+
+def test_sample_choose_subsample(rng):
+    mask = np.zeros(400, bool)
+    on = rng.choice(400, 120, replace=False)
+    mask[on] = True
+    choose = np.asarray(sample_choose(jnp.asarray(mask), 50, jax.random.key(0)))
+    assert choose.shape == (50,)
+    assert np.isin(choose, on).all()
+    assert len(np.unique(choose)) == 50  # without replacement
+    assert (np.sort(choose) == choose).all()  # ascending flat order
+
+
+def test_sample_choose_wrap(rng):
+    mask = np.zeros(400, bool)
+    on = np.sort(rng.choice(400, 7, replace=False))
+    mask[on] = True
+    choose = np.asarray(sample_choose(jnp.asarray(mask), 20, jax.random.key(0)))
+    expect = np.pad(on, (0, 13), mode="wrap")
+    np.testing.assert_array_equal(choose, expect)
+
+
+def test_sample_choose_empty():
+    mask = np.zeros(400, bool)
+    choose = np.asarray(sample_choose(jnp.asarray(mask), 20, jax.random.key(0)))
+    np.testing.assert_array_equal(choose, 0)
+
+
+def test_sample_choose_exact_count(rng):
+    mask = np.zeros(100, bool)
+    on = np.sort(rng.choice(100, 20, replace=False))
+    mask[on] = True
+    choose = np.asarray(sample_choose(jnp.asarray(mask), 20, jax.random.key(1)))
+    np.testing.assert_array_equal(choose, on)
+
+
+# ---------- synthetic render + fused preprocessing ----------
+
+def test_synthetic_frame_consistency():
+    frame, models = make_scene(num_objects=2, model_points=400, seed=3)
+    assert frame.color.shape == (480, 640, 3)
+    assert frame.depth.dtype == np.uint16
+    for obj in frame.poses:
+        assert (frame.label == obj).sum() > 50  # visible object
+
+
+def test_preprocess_cloud_lands_on_model_surface():
+    """Backprojected cloud points must lie near the GT-posed model surface."""
+    ds = SyntheticPoseDataset(num_frames=1, num_objects=1, model_points=600,
+                              num_points=400, seed=5)
+    raw = ds.get_raw(0)
+    s = raw_to_sample(raw, jax.random.key(0), num_points=400, add_noise=False)
+
+    assert s.points.shape == (400, 3)
+    assert s.img.shape[0] in BORDER_LIST[1:] and s.img.shape[1] in BORDER_LIST[1:]
+    # target = R @ model + t in row-vector form
+    expect_target = raw["model_points"] @ raw["target_r"].T + raw["target_t"]
+    np.testing.assert_allclose(np.asarray(s.target), expect_target, atol=1e-5)
+
+    # every cloud point within a few mm of the posed model surface
+    d2 = ((np.asarray(s.points)[:, None, :] - expect_target[None]) ** 2).sum(-1)
+    nearest = np.sqrt(d2.min(-1))
+    assert np.median(nearest) < 0.02, np.median(nearest)
+    # cloud depth values sane (z in metres)
+    z = np.asarray(s.points)[:, 2]
+    assert (z > 0.3).all() and (z < 2.0).all()
+
+
+def test_preprocess_choose_indices_point_at_masked_pixels():
+    ds = SyntheticPoseDataset(num_frames=1, num_objects=1, num_points=300, seed=6)
+    raw = ds.get_raw(0)
+    s = raw_to_sample(raw, jax.random.key(0), num_points=300)
+    from plr2_tpu.data import get_bbox_from_mask as gb
+    rmin, rmax, cmin, cmax = gb(raw["mask"])
+    crop_mask = raw["mask"][rmin:rmax, cmin:cmax].reshape(-1)
+    assert crop_mask[np.asarray(s.choose)].all()
+
+
+def test_preprocess_noise_shifts_cloud_and_target_consistently():
+    ds = SyntheticPoseDataset(num_frames=1, num_objects=1, num_points=200, seed=7)
+    raw = ds.get_raw(0)
+    clean = raw_to_sample(raw, jax.random.key(3), 200, add_noise=False)
+    noisy = raw_to_sample(raw, jax.random.key(3), 200, add_noise=True)
+    # the translation augmentation must shift cloud and target by the SAME
+    # add_t (pose labels stay consistent)
+    dt_cloud = np.asarray(noisy.points - clean.points)
+    dt_target = np.asarray(noisy.target - clean.target)
+    np.testing.assert_allclose(dt_cloud.mean(0), dt_target.mean(0), atol=1e-5)
+    assert np.abs(dt_cloud.mean(0)).max() <= 0.03 + 1e-6
+
+
+def test_stack_samples_batches_and_restrides():
+    ds = SyntheticPoseDataset(num_frames=2, num_objects=1, num_points=100, seed=8)
+    ss = [raw_to_sample(ds.get_raw(i), jax.random.key(i), 100) for i in range(2)]
+    batch = stack_samples(ss, crop=240)
+    assert batch.img.shape == (2, 240, 240, 3)
+    assert batch.points.shape == (2, 100, 3)
+    # re-strided choose points at the same pixel values
+    for b, s in enumerate(ss):
+        h, w = s.img.shape[0], s.img.shape[1]
+        orig = np.asarray(s.img).reshape(-1, 3)[np.asarray(s.choose)]
+        new = np.asarray(batch.img[b]).reshape(-1, 3)[np.asarray(batch.choose[b])]
+        np.testing.assert_allclose(new, orig, atol=1e-6)

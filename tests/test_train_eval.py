@@ -1,0 +1,139 @@
+"""Trainer curriculum + evaluator integration tests on tiny synthetic data.
+
+These use a small PoseNet (few points, small crops) so the whole train/test
+loop runs in seconds on the CPU backend.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plr2_tpu.config import (
+    DatasetConfig, ModelConfig, PipelineConfig, TrainConfig)
+from plr2_tpu.data import SyntheticPoseDataset
+from plr2_tpu.eval import compute_auc, evaluate, success_rate
+from plr2_tpu.pipeline import DenseFusionPipeline
+from plr2_tpu.train import Trainer, CheckpointManager
+
+
+def _tiny_config(**train_kw):
+    return PipelineConfig(
+        dataset=DatasetConfig(name="synthetic", num_points=96, num_objects=4,
+                              num_mesh_points=128, sym_list=(1,),
+                              add_noise=True),
+        model=ModelConfig(num_points=96, num_objects=4, use_pallas=False),
+        train=TrainConfig(batch_size=2, refine_iterations=2, **train_kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_ds():
+    return SyntheticPoseDataset(num_frames=2, num_objects=2,
+                                model_points=128, num_points=96, seed=1)
+
+
+def test_metrics_auc_known_values():
+    # all failures above threshold
+    assert compute_auc([0.5, 0.2], max_dist=0.1) == 0.0
+    # all perfect
+    assert compute_auc([0.0, 0.0], max_dist=0.1) == pytest.approx(100.0)
+    # toolbox VOCap is right-continuous/optimistic: a single sample at 0.05
+    # scores 100 (accuracy=1 credited over the whole [0, 0.1] range)
+    assert compute_auc([0.05], max_dist=0.1) == pytest.approx(100.0)
+    # one hit at 0.05 + one failure: acc plateaus at 0.5 -> 50
+    assert compute_auc([0.05, 0.5], max_dist=0.1) == pytest.approx(50.0)
+    assert success_rate([0.01, 0.03], 0.02) == 0.5
+
+
+def test_trainer_posenet_step_updates_params(tiny_ds):
+    cfg = _tiny_config()
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.key(0), crop_hw=80)
+    before = jax.tree_util.tree_leaves(state.variables["posenet"]["params"])[0].copy()
+    state, info = tr.train_epoch(state, tiny_ds, jax.random.key(1))
+    after = jax.tree_util.tree_leaves(state.variables["posenet"]["params"])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    assert np.isfinite(info["train_loss"])
+    assert info["train_dis"] > 0
+
+
+def test_trainer_test_epoch_and_curriculum(tiny_ds):
+    cfg = _tiny_config()
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.key(0), crop_hw=80)
+    dis = tr.test_epoch(state, tiny_ds, jax.random.key(2))
+    assert np.isfinite(dis) and dis > 0
+
+    # force the curriculum transitions
+    state = tr.update_curriculum(state, 0.015)  # < decay_margin 0.016
+    assert state.decay_started and not state.refine_started
+    assert state.lr == pytest.approx(cfg.train.lr * cfg.train.lr_rate)
+    assert state.w == pytest.approx(cfg.train.w * cfg.train.w_rate)
+    state = tr.update_curriculum(state, 0.012)  # < refine_margin 0.013
+    assert state.refine_started
+
+
+def test_trainer_refine_stage_updates_refiner_only(tiny_ds):
+    cfg = _tiny_config()
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.key(0), crop_hw=80)
+    state.refine_started = True
+    state.opt_state = tr._make_opt(state.lr).init(
+        state.variables["refiner"]["params"])
+
+    pose_before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), state.variables["posenet"]["params"])
+    ref_before = jax.tree_util.tree_leaves(
+        state.variables["refiner"]["params"])[0].copy()
+
+    state, info = tr.train_epoch(state, tiny_ds, jax.random.key(1))
+
+    ref_after = jax.tree_util.tree_leaves(state.variables["refiner"]["params"])[0]
+    assert not np.allclose(np.asarray(ref_before), np.asarray(ref_after))
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(pose_before)[0],
+            jax.tree_util.tree_flatten_with_path(
+                state.variables["posenet"]["params"])[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_smoke_and_checkpoint(tmp_path, tiny_ds):
+    cfg = _tiny_config(nepoch=2)
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.key(0), crop_hw=80)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    logs, saved = [], {}
+
+    def save_best(s, d):
+        ckpt.save(s, d)
+        saved["params_leaf"] = np.asarray(
+            jax.tree_util.tree_leaves(s.variables["posenet"]["params"])[0]).copy()
+
+    state = tr.fit(state, tiny_ds, tiny_ds, jax.random.key(5), epochs=2,
+                   log_fn=logs.append, checkpoint_fn=save_best)
+    assert state.epoch == 2
+    assert len(logs) == 2
+    assert "params_leaf" in saved  # first epoch always improves from inf
+
+    restored = ckpt.restore()
+    assert restored is not None
+    # restore into a fresh state preserves curriculum scalars and the
+    # best-epoch parameters (not necessarily the final-epoch ones)
+    state2 = tr.init_state(jax.random.key(9), crop_hw=80)
+    state2 = ckpt.restore_into(state2)
+    assert state2.epoch >= 1
+    b = jax.tree_util.tree_leaves(state2.variables["posenet"]["params"])[0]
+    np.testing.assert_allclose(saved["params_leaf"], np.asarray(b))
+
+
+def test_evaluator_on_synthetic(tiny_ds):
+    pipe = DenseFusionPipeline(num_points=96, num_objects=4)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+    res = evaluate(pipe, variables, tiny_ds, sym_list=(1,),
+                   refine_iterations=1, diameters=tiny_ds.diameters,
+                   max_samples=3)
+    assert res.num_samples == 3
+    assert 0.0 <= res.auc <= 100.0
+    assert 0.0 <= res.mean_success <= 1.0
+    assert np.isfinite(res.mean_distance)

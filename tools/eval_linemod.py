@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""LineMOD evaluation CLI — the reference's tools/eval_linemod.py protocol:
+per-object ADD(-S) < 0.1*diameter success rates (SURVEY.md section 3.3)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_root", type=str, default="")
+    p.add_argument("--model", type=str, default="",
+                   help="checkpoint directory (CheckpointManager tag 'best')")
+    p.add_argument("--refine_iterations", type=int, default=4)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from plr2_tpu.config import get_preset
+    from plr2_tpu.data import LinemodDataset, SyntheticPoseDataset
+    from plr2_tpu.eval import evaluate
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.train import Trainer, CheckpointManager
+
+    cfg = get_preset("linemod_train")
+    pipe = DenseFusionPipeline(num_points=cfg.model.num_points,
+                               num_objects=cfg.model.num_objects)
+    trainer = Trainer(cfg, pipe)
+    state = trainer.init_state(jax.random.key(0))
+    if args.model:
+        state = CheckpointManager(args.model).restore_into(state)
+        print(f"loaded checkpoint (epoch {state.epoch})")
+
+    if args.synthetic:
+        ds = SyntheticPoseDataset(num_frames=2, num_objects=2,
+                                  model_points=cfg.dataset.num_mesh_points,
+                                  num_points=cfg.model.num_points, seed=42)
+        diameters = ds.diameters
+    else:
+        ds = LinemodDataset(args.dataset_root, "test", cfg.model.num_points,
+                            cfg.dataset.num_mesh_points, add_noise=False)
+        diameters = {ds.objlist.index(o): d for o, d in ds.diameters.items()}
+
+    res = evaluate(pipe, state.variables, ds,
+                   sym_list=cfg.dataset.sym_list,
+                   refine_iterations=args.refine_iterations,
+                   diameters=diameters, max_samples=args.max_samples)
+    for obj, s in sorted(res.per_object_success.items()):
+        print(f"object {obj:2d}: success {s * 100:.2f}%")
+    print(f"mean success rate: {res.mean_success * 100:.2f}%  "
+          f"(mean dis {res.mean_distance:.4f} m, {res.num_samples} samples)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Training CLI — the reference's tools/train.py argparse surface
+(SURVEY.md section 2 #11) over the plr2_tpu Trainer.
+
+Examples:
+  python tools/train.py --dataset linemod --dataset_root /data/Linemod_preprocessed
+  python tools/train.py --dataset ycb --dataset_root /data/YCB_Video_Dataset
+  python tools/train.py --dataset linemod --synthetic --nepoch 2   # smoke
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", choices=["ycb", "linemod"], default="linemod")
+    p.add_argument("--dataset_root", type=str, default="")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--workers", type=int, default=0, help="unused; host decode is inline")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_rate", type=float, default=0.3)
+    p.add_argument("--w", type=float, default=0.015)
+    p.add_argument("--w_rate", type=float, default=0.3)
+    p.add_argument("--decay_margin", type=float, default=0.016)
+    p.add_argument("--refine_margin", type=float, default=0.013)
+    p.add_argument("--noise_trans", type=float, default=0.03)
+    p.add_argument("--iteration", type=int, default=2)
+    p.add_argument("--nepoch", type=int, default=500)
+    p.add_argument("--repeat_epoch", type=int, default=1)
+    p.add_argument("--resume_posenet", type=str, default="")
+    p.add_argument("--resume_refinenet", type=str, default="")
+    p.add_argument("--start_epoch", type=int, default=1)
+    p.add_argument("--outf", type=str, default="trained_models")
+    p.add_argument("--log_dir", type=str, default="experiments/logs")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated fixtures (no dataset_root needed)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+    from plr2_tpu.config import get_preset, TrainConfig
+    from plr2_tpu.data import LinemodDataset, YCBDataset, SyntheticPoseDataset
+    from plr2_tpu.train import Trainer, CheckpointManager
+    from plr2_tpu.utils.logger import setup_logger
+
+    preset = "linemod_train" if args.dataset == "linemod" else "ycb_train"
+    cfg = get_preset(preset)
+    cfg = dataclasses.replace(cfg, train=TrainConfig(
+        batch_size=args.batch_size, lr=args.lr, lr_rate=args.lr_rate,
+        w=args.w, w_rate=args.w_rate, decay_margin=args.decay_margin,
+        refine_margin=args.refine_margin, refine_iterations=args.iteration,
+        nepoch=args.nepoch, repeat_epoch=args.repeat_epoch, seed=args.seed,
+        checkpoint_dir=args.outf, log_dir=args.log_dir,
+        resume_posenet=args.resume_posenet,
+        resume_refinenet=args.resume_refinenet,
+        start_epoch=args.start_epoch))
+
+    if args.synthetic:
+        np_ = cfg.model.num_points
+        train_ds = SyntheticPoseDataset(num_frames=4, num_objects=2,
+                                        model_points=cfg.dataset.num_mesh_points,
+                                        num_points=np_, seed=args.seed)
+        test_ds = SyntheticPoseDataset(num_frames=2, num_objects=2,
+                                       model_points=cfg.dataset.num_mesh_points,
+                                       num_points=np_, seed=args.seed + 1)
+    elif args.dataset == "linemod":
+        train_ds = LinemodDataset(args.dataset_root, "train",
+                                  cfg.model.num_points,
+                                  cfg.dataset.num_mesh_points,
+                                  noise_trans=args.noise_trans)
+        test_ds = LinemodDataset(args.dataset_root, "test",
+                                 cfg.model.num_points,
+                                 cfg.dataset.num_mesh_points, add_noise=False)
+    else:
+        train_ds = YCBDataset(args.dataset_root, "train", cfg.model.num_points,
+                              cfg.dataset.num_mesh_points,
+                              noise_trans=args.noise_trans)
+        test_ds = YCBDataset(args.dataset_root, "test", cfg.model.num_points,
+                             cfg.dataset.num_mesh_points, add_noise=False)
+
+    logger = setup_logger(
+        "train", os.path.join(args.log_dir, f"train_{args.dataset}.log"))
+    trainer = Trainer(cfg)
+    import jax.random
+    state = trainer.init_state(jax.random.key(args.seed))
+    ckpt = CheckpointManager(os.path.join(args.outf, args.dataset))
+    if args.resume_posenet or args.resume_refinenet:
+        state = ckpt.restore_into(state, tag=args.resume_posenet or "best")
+        logger.info(f"resumed from epoch {state.epoch} "
+                    f"(best_test={state.best_test:.5f})")
+
+    logger.info(f"training {args.dataset}: {len(train_ds)} train / "
+                f"{len(test_ds)} test samples")
+    trainer.fit(state, train_ds, test_ds, jax.random.key(args.seed + 1),
+                epochs=args.nepoch, log_fn=logger.info,
+                checkpoint_fn=lambda s, d: ckpt.save(s, d))
+
+
+if __name__ == "__main__":
+    main()
