@@ -27,7 +27,10 @@ def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (..., P, 1)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)  # (..., M, 1)
-    ab = jnp.matmul(a, jnp.swapaxes(b, -1, -2))  # (..., P, M)
+    # precision="highest": the TPU default bf16 matmul is far too coarse
+    # for metric distances, and this form already cancels; keep the
+    # products exact (the Pallas kernel avoids the cancellation entirely)
+    ab = jnp.matmul(a, jnp.swapaxes(b, -1, -2), precision="highest")
     d2 = a2 - 2.0 * ab + jnp.swapaxes(b2, -1, -2)
     return jnp.maximum(d2, 0.0)
 
@@ -67,5 +70,7 @@ def chamfer_min_distance(pred: jnp.ndarray, target: jnp.ndarray,
     """Dispatcher: (H, M, 3), (M2, 3) -> (H, M) nearest-target distances."""
     if use_pallas:
         from plr2_tpu.ops.pallas_knn import nn_distance_pallas
-        return nn_distance_pallas(pred, target)
+        # Mosaic kernels need a TPU; interpret on CPU (tests)
+        interpret = jax.default_backend() == "cpu"
+        return nn_distance_pallas(pred, target, interpret=interpret)
     return nn_distance_xla(pred, target)

@@ -24,7 +24,7 @@ from plr2_tpu.pipeline import DenseFusionPipeline
 
 def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
                     w: float, lr: float, refine_iterations: int = 0,
-                    mesh=None):
+                    mesh=None, use_pallas: bool = False):
     """Returns (init_opt_state, train_step). train_step signature:
     (variables, opt_state, batch) -> (variables, opt_state, metrics).
 
@@ -45,7 +45,8 @@ def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
             rngs={"dropout": dropout_key})
         out = pose_loss(pred_r, pred_t, pred_c, batch["target"],
                         batch["model_points"], batch["idx"], batch["points"],
-                        w=w, refine=refine_iterations > 0, sym_list=sym_list)
+                        w=w, refine=refine_iterations > 0, sym_list=sym_list,
+                        use_pallas=use_pallas)
         loss = out.loss
         if refine_iterations > 0:
             new_points, new_target = out.new_points, out.new_target
@@ -53,7 +54,8 @@ def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
                 dr, dt = pipe.refiner.apply(
                     {"params": refiner_params}, new_points, emb, batch["idx"])
                 ro = refine_loss(dr, dt, new_target, batch["model_points"],
-                                 batch["idx"], new_points, sym_list=sym_list)
+                                 batch["idx"], new_points, sym_list=sym_list,
+                                 use_pallas=use_pallas)
                 new_points, new_target = ro.new_points, ro.new_target
                 loss = loss + jnp.mean(ro.dis)
         return loss, (mutated["batch_stats"], jnp.mean(out.dis))

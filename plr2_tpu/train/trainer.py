@@ -58,6 +58,9 @@ class Trainer:
             num_points=config.model.num_points,
             num_objects=config.model.num_objects)
         self.sym_list = tuple(config.dataset.sym_list)
+        # Pallas ADD-S kernel on TPU (225x the chunked XLA fallback on the
+        # sym-object chamfer at production shapes); interpret-mode on CPU
+        self.use_pallas = bool(config.model.use_pallas)
 
     # ---------- state ----------
 
@@ -88,7 +91,8 @@ class Trainer:
                 rngs={"dropout": jax.random.key(0)})
             out = pose_loss(pred_r, pred_t, pred_c, target, model_points,
                             obj, cloud, w=w, refine=refine,
-                            sym_list=self.sym_list)
+                            sym_list=self.sym_list,
+                            use_pallas=self.use_pallas)
             return out.loss, (mutated["batch_stats"], out.dis)
 
         (loss, (bs, dis)), grads = jax.value_and_grad(
@@ -107,7 +111,8 @@ class Trainer:
             img, cloud, choose, obj, train=True, mutable=["batch_stats"],
             rngs={"dropout": jax.random.key(0)})
         first = pose_loss(pred_r, pred_t, pred_c, target, model_points, obj,
-                          cloud, w=w, refine=True, sym_list=self.sym_list)
+                          cloud, w=w, refine=True, sym_list=self.sym_list,
+                          use_pallas=self.use_pallas)
 
         def loss_fn(refiner_params):
             def body(carry, _):
@@ -116,7 +121,8 @@ class Trainer:
                     {"params": refiner_params}, new_points,
                     jax.lax.stop_gradient(emb), obj)
                 out = refine_loss(dr, dt, new_target, model_points, obj,
-                                  new_points, sym_list=self.sym_list)
+                                  new_points, sym_list=self.sym_list,
+                                  use_pallas=self.use_pallas)
                 return (out.new_points, out.new_target,
                         acc + jnp.mean(out.dis)), jnp.mean(out.dis)
 
@@ -136,7 +142,8 @@ class Trainer:
         pred_r, pred_t, pred_c, emb = self.pipe.posenet.apply(
             variables["posenet"], img, cloud, choose, obj)
         out = pose_loss(pred_r, pred_t, pred_c, target, model_points, obj,
-                        cloud, w=0.0, refine=True, sym_list=self.sym_list)
+                        cloud, w=0.0, refine=True, sym_list=self.sym_list,
+                        use_pallas=self.use_pallas)
         if refine_iterations == 0:
             return out.dis
         new_points, new_target = out.new_points, out.new_target
@@ -145,7 +152,8 @@ class Trainer:
             dr, dt = self.pipe.refiner.apply(
                 variables["refiner"], new_points, emb, obj)
             ro = refine_loss(dr, dt, new_target, model_points, obj,
-                             new_points, sym_list=self.sym_list)
+                             new_points, sym_list=self.sym_list,
+                             use_pallas=self.use_pallas)
             new_points, new_target, dis = ro.new_points, ro.new_target, ro.dis
         return dis
 
