@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Segmentation training CLI — the reference's vanilla_segmentation/train.py.
+
+Trains SegNet on YCB (color, label) frames or synthetic fixtures:
+  python tools/train_segmentation.py --synthetic --nepoch 2
+  python tools/train_segmentation.py --dataset_root /data/YCB_Video_Dataset
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_root", type=str, default="")
+    p.add_argument("--nepoch", type=int, default=600)
+    p.add_argument("--batch_size", type=int, default=3)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--num_classes", type=int, default=22)
+    p.add_argument("--crop", type=int, default=128)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--logs_path", type=str, default="experiments/logs/seg")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from plr2_tpu.train.seg_trainer import SegTrainer
+    from plr2_tpu.utils.logger import setup_logger
+
+    logger = setup_logger("seg", os.path.join(args.logs_path, "train.log"))
+
+    if args.synthetic:
+        from plr2_tpu.data.synthetic import make_scene
+        frames = [make_scene(num_objects=3, seed=s)[0] for s in range(6)]
+    else:
+        import types
+        import numpy as np
+        from plr2_tpu.data import YCBDataset
+        ds = YCBDataset(args.dataset_root, "train")
+        frames = []
+        for i in range(len(ds)):
+            fr = ds.get_frame(i)
+            frames.append(types.SimpleNamespace(
+                color=fr["color"], label=np.asarray(fr["label"], np.int32)))
+
+    trainer = SegTrainer(num_classes=args.num_classes, lr=args.lr,
+                         crop=args.crop, batch=args.batch_size)
+    state = trainer.init_state(jax.random.key(0))
+    for epoch in range(1, args.nepoch + 1):
+        state = trainer.train_epoch(state, frames, seed=epoch)
+        logger.info(f"epoch {epoch}: loss={state['last_epoch_loss']:.5f} "
+                    f"({state['seconds']:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()
