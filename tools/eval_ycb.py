@@ -19,9 +19,16 @@ def main():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--save_mat", type=str, default="",
-                   help="directory to dump per-sample pose .mat files")
+                   help="directory to dump per-frame pose .mat files "
+                        "(implies --full_pipeline)")
+    p.add_argument("--full_pipeline", action="store_true",
+                   help="BASELINE config 5: per-frame batched multi-object "
+                        "estimation through masks (GT labels here; use "
+                        "tools/train_segmentation.py output for SegNet masks)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
+    if args.save_mat:
+        args.full_pipeline = True
 
     import jax
     if args.cpu:
@@ -50,6 +57,39 @@ def main():
     else:
         ds = YCBDataset(args.dataset_root, "test", cfg.model.num_points,
                         cfg.dataset.num_mesh_points, add_noise=False)
+
+    if args.full_pipeline:
+        from plr2_tpu.eval.full_pipeline import evaluate_full_pipeline
+
+        if args.synthetic:
+            frames = ds.frames
+            models = {oid: m for oid, m in ds.models.items()}
+        else:
+            import types
+            frames, models = [], {}
+            n = len(ds) if args.max_samples is None else min(
+                len(ds), args.max_samples)
+            for i in range(n):
+                fr = ds.get_frame(i)
+                poses = {oid + 1: (o["target_r"], o["target_t"])
+                         for oid, o in fr["objects"].items()}
+                frames.append(types.SimpleNamespace(
+                    color=fr["color"], depth=fr["depth"], label=fr["label"],
+                    poses=poses, intrinsics=fr["intrinsics"]))
+                for oid in fr["objects"]:
+                    models[oid + 1] = ds.model_points[oid]
+        res = evaluate_full_pipeline(
+            pipe, state.variables, frames, models,
+            sym_list=cfg.dataset.sym_list,
+            refine_iterations=args.refine_iterations,
+            save_mat_dir=args.save_mat)
+        print(f"ADD-S AUC (<0.1 m): {res.auc:.2f}")
+        print(f"ADD-S < 2 cm:       {res.under_2cm * 100:.2f}%")
+        print(f"mean distance:      {res.mean_distance:.4f} m "
+              f"({res.num_objects} objects / {res.num_frames} frames)")
+        if args.save_mat:
+            print(f"per-frame poses written to {args.save_mat}")
+        return
 
     res = evaluate(pipe, state.variables, ds,
                    sym_list=cfg.dataset.sym_list,
