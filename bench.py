@@ -16,6 +16,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from plr2_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 REFERENCE_FPS = 33.3  # DenseFusion paper runtime on its GPU (BASELINE.md)
 
 
