@@ -5,6 +5,14 @@ Baseline: the reference pipeline runs ~33 frames/s on its GPU (DenseFusion
 paper runtime: ~0.02 s estimation + ~0.01 s refine per frame; BASELINE.md).
 vs_baseline = measured frames/s / 33.3.
 
+Measurement methodology (important on this environment): the TPU is
+reached through a relay with ~30-60 ms per-dispatch latency, and
+`block_until_ready` does not reflect remote completion. So the benchmark
+runs K chained pipeline iterations INSIDE one jitted `lax.fori_loop`
+(each iteration's input is perturbed by the previous output, forcing
+serial execution), fetches a few output bytes to the host to guarantee
+completion, and subtracts the measured constant dispatch+fetch overhead.
+
 Flagship config: YCB-scale model (21 objects, 1000 points, 160x160 crops),
 batched inference on one chip.
 """
@@ -12,6 +20,8 @@ batched inference on one chip.
 import json
 import sys
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +35,7 @@ REFERENCE_FPS = 33.3  # DenseFusion paper runtime on its GPU (BASELINE.md)
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    inner = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     crop, n_points, num_objects = 160, 1000, 21
 
     from plr2_tpu.pipeline import DenseFusionPipeline
@@ -37,22 +48,42 @@ def main():
     choose = jax.random.randint(ks[2], (batch, n_points), 0, crop * crop)
     obj = jnp.arange(batch, dtype=jnp.int32) % num_objects
 
-    def run():
-        return pipe.estimate(variables, img, points, choose, obj,
-                             refine_iterations=2)
+    @jax.jit
+    def run_loop(variables, img, points, choose, obj):
+        def body(i, carry):
+            q_prev, t_prev = carry
+            # chain: perturb the image by the previous result so XLA must
+            # execute iterations serially (no elision/overlap)
+            im = img + q_prev[0, 0] * 1e-9
+            est = pipe.estimate(variables, im, points, choose, obj,
+                                refine_iterations=2)
+            return est.quat, est.trans
+        q, t = jax.lax.fori_loop(0, inner, body,
+                                 (jnp.zeros((batch, 4)), jnp.zeros((batch, 3))))
+        return q[0], t[0]
 
-    # warmup / compile
-    est = run()
-    est.quat.block_until_ready()
+    @jax.jit
+    def null_prog(img):
+        return img[0, 0, 0, 0] * 2.0
 
-    iters = 10
+    # warm both programs (fetch forces real completion)
+    np.asarray(run_loop(variables, img, points, choose, obj)[0])
+    np.asarray(null_prog(img))
+
+    # constant per-dispatch+fetch overhead through the relay
     t0 = time.perf_counter()
-    for _ in range(iters):
-        est = run()
-    est.quat.block_until_ready()
-    dt = time.perf_counter() - t0
+    for _ in range(3):
+        np.asarray(null_prog(img))
+    overhead = (time.perf_counter() - t0) / 3
 
-    fps = batch * iters / dt
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = np.asarray(run_loop(variables, img, points, choose, obj)[0])
+    total = (time.perf_counter() - t0) / reps
+
+    compute_s = max(total - overhead, 1e-9)
+    fps = batch * inner / compute_s
     print(json.dumps({
         "metric": "rgbd_frames_per_sec_per_chip_posenet_2iter_refine",
         "value": round(fps, 2),

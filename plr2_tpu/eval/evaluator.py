@@ -49,24 +49,58 @@ def evaluate(
     num_points: Optional[int] = None,
     max_samples: Optional[int] = None,
     seed: int = 0,
+    batch_size: int = 1,
+    crop_canvas: int = 240,
 ) -> EvalResult:
-    """Run the full eval protocol over `dataset` (any get_raw provider)."""
+    """Run the full eval protocol over `dataset` (any get_raw provider).
+
+    batch_size 1 is the reference-faithful per-crop mode (one jit program
+    per border-list bucket); batch_size > 1 pads crops onto a shared canvas
+    and runs the estimate+refine program batched (throughput mode)."""
     n_pts = num_points or pipe.num_points
     key = jax.random.key(seed)
     dists: List[float] = []
     per_obj: Dict[int, List[float]] = {}
 
     n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
+    pending: List[Tuple[int, object]] = []
+
+    def flush():
+        nonlocal pending
+        if not pending:
+            return
+        from plr2_tpu.data.loader import stack_samples
+        objs = [o for o, _ in pending]
+        ss = [s for _, s in pending]
+        canvas = max([crop_canvas] + [max(s.img.shape[0], s.img.shape[1])
+                                      for s in ss])
+        batch = stack_samples(ss, crop=canvas)
+        est = pipe.estimate(variables, batch.img, batch.points, batch.choose,
+                            batch.idx, refine_iterations=refine_iterations)
+        for bi, obj in enumerate(objs):
+            dis = float(pose_distance(
+                batch.model_points[bi], est.quat[bi], est.trans[bi],
+                batch.target[bi], symmetric=obj in sym_list))
+            dists.append(dis)
+            per_obj.setdefault(obj, []).append(dis)
+        pending = []
+
     for i in range(n):
         raw = dataset.get_raw(i)
         key, sub = jax.random.split(key)
         s = raw_to_sample(raw, sub, n_pts, add_noise=False)
-        q, t = _estimate_sample(pipe, variables, s, refine_iterations)
         obj = int(raw["obj_idx"])
+        if batch_size > 1:
+            pending.append((obj, s))
+            if len(pending) >= batch_size:
+                flush()
+            continue
+        q, t = _estimate_sample(pipe, variables, s, refine_iterations)
         dis = float(pose_distance(s.model_points, q, t, s.target,
                                   symmetric=obj in sym_list))
         dists.append(dis)
         per_obj.setdefault(obj, []).append(dis)
+    flush()
 
     result = EvalResult(num_samples=len(dists))
     if not dists:

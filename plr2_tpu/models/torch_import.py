@@ -1,0 +1,193 @@
+"""Import reference (PyTorch DenseFusion-layout) checkpoints into plr2_tpu.
+
+Lets a user of the reference bring their trained `pose_model_*.pth` /
+`pose_refine_model_*.pth` weights straight into this framework. The name
+mapping targets the upstream lib/network.py module tree (SURVEY.md
+section 2 #2-#5):
+
+  cnn.model(.module)?.feats.*        -> params/cnn/feats/*   (torch resnet)
+  cnn.model(.module)?.psp.*          -> params/cnn/psp/*
+  cnn.model(.module)?.up_{1,2,3}.*   -> params/cnn/up_{1,2,3}/*
+  cnn.model(.module)?.final.*        -> params/cnn/final
+  feat.conv1/e_conv1/... (Conv1d)    -> params/feat/*        (Dense)
+  conv{1..4}_{r,t,c} (Conv1d)        -> params/conv{i}_{r,t,c}
+
+Tensor layout conversions: Conv2d OIHW -> HWIO; Conv1d (out, in, 1) ->
+Dense (in, out); Linear (out, in) -> Dense (in, out); BatchNorm
+weight/bias/running_mean/running_var -> scale/bias + batch_stats mean/var.
+
+Unmatched source keys are returned so callers can assert completeness
+against their exact checkpoint (the reference repo may wrap modules in
+DataParallel — 'module.' prefixes are stripped).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def _set(tree: Dict, path: List[str], value: np.ndarray) -> bool:
+    node = tree
+    for p in path[:-1]:
+        if p not in node:
+            return False
+        node = node[p]
+    if path[-1] not in node:
+        return False
+    if tuple(node[path[-1]].shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {'/'.join(path)}: "
+            f"{node[path[-1]].shape} vs {value.shape}")
+    node[path[-1]] = value
+    return True
+
+
+def _conv2d(w: np.ndarray) -> np.ndarray:  # OIHW -> HWIO
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _conv1d(w: np.ndarray) -> np.ndarray:  # (out, in, 1) -> (in, out)
+    return np.ascontiguousarray(w[..., 0].T)
+
+
+def _linear(w: np.ndarray) -> np.ndarray:  # (out, in) -> (in, out)
+    return np.ascontiguousarray(w.T)
+
+
+def _map_resnet_key(parts: List[str]) -> List[str] | None:
+    """torch extractors.ResNet names -> our DilatedResNet18 names."""
+    head = parts[0]
+    if head in ("conv1", "conv2", "conv3"):
+        return [head, "kernel"]
+    if head in ("bn1", "bn2", "bn3"):
+        return [head, parts[1]]
+    if head.startswith("layer"):
+        li = head[5:]
+        bi, sub = parts[1], parts[2]
+        base = f"layer{li}_block{bi}"
+        if sub == "downsample":
+            which = parts[3]  # 0 = conv, 1 = bn
+            leaf = parts[4]
+            if which == "0":
+                return [base, "downsample_conv", "kernel"]
+            return [base, "downsample_bn", leaf]
+        if sub in ("conv1", "conv2"):
+            return [base, sub, "kernel"]
+        if sub in ("bn1", "bn2"):
+            return [base, sub, parts[3]]
+    return None
+
+
+_BN_PARAM = {"weight": "scale", "bias": "bias"}
+_BN_STAT = {"running_mean": "mean", "running_var": "var"}
+
+
+def import_posenet_state_dict(state_dict: Dict[str, "object"],
+                              variables: Dict) -> Tuple[Dict, List[str]]:
+    """Merge a reference PoseNet state_dict into a flax variables tree.
+
+    Returns (updated variables, list of unmatched source keys)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    unmatched: List[str] = []
+
+    for key, val in state_dict.items():
+        v = np.asarray(getattr(val, "numpy", lambda: val)())
+        parts = [p for p in key.split(".") if p != "module"]
+        ok = False
+
+        if parts[0] == "cnn":
+            sub = parts[2:] if parts[1] == "model" else parts[1:]
+            if sub[0] == "feats":
+                leaf = sub[1:]
+                mapped = _map_resnet_key(leaf)
+                if mapped is not None:
+                    torch_leaf = leaf[-1]
+                    if torch_leaf == "weight" and mapped[-1] == "kernel":
+                        ok = _set(params, ["cnn", "feats"] + mapped, _conv2d(v))
+                    elif torch_leaf in _BN_PARAM and mapped[-1] == torch_leaf:
+                        mapped[-1] = _BN_PARAM[torch_leaf]
+                        ok = _set(params, ["cnn", "feats"] + mapped, v)
+                    elif torch_leaf in _BN_STAT:
+                        mapped[-1] = _BN_STAT[torch_leaf]
+                        ok = _set(stats, ["cnn", "feats"] + mapped, v)
+            elif sub[0] == "psp":
+                if sub[1] == "stages":
+                    ok = _set(params, ["cnn", "psp", f"stage{sub[2]}_conv",
+                                       "kernel"], _conv2d(v))
+                elif sub[1] == "bottleneck":
+                    leaf = "kernel" if sub[-1] == "weight" else "bias"
+                    ok = _set(params, ["cnn", "psp", "bottleneck", leaf],
+                              _conv2d(v) if leaf == "kernel" else v)
+            elif sub[0] in ("up_1", "up_2", "up_3"):
+                # upstream PSPUpsample.conv = Sequential(Upsample, Conv2d, PReLU)
+                if sub[-1] == "weight" and v.ndim == 4:
+                    ok = _set(params, ["cnn", sub[0], "conv", "kernel"],
+                              _conv2d(v))
+                elif v.ndim <= 1 and "PReLU" not in key and sub[-1] == "bias":
+                    ok = _set(params, ["cnn", sub[0], "conv", "bias"], v)
+                elif v.size == 1:  # PReLU alpha
+                    ok = _set(params, ["cnn", sub[0], "prelu_alpha"],
+                              v.reshape(()))
+            elif sub[0] == "final":
+                leaf = "kernel" if sub[-1] == "weight" else "bias"
+                ok = _set(params, ["cnn", "final", leaf],
+                          _conv2d(v) if leaf == "kernel" else v)
+        elif parts[0] == "feat":
+            leaf = "kernel" if parts[-1] == "weight" else "bias"
+            ok = _set(params, ["feat", parts[1], leaf],
+                      _conv1d(v) if leaf == "kernel" else v)
+        elif parts[0].startswith("conv") and "_" in parts[0]:
+            leaf = "kernel" if parts[-1] == "weight" else "bias"
+            ok = _set(params, [parts[0], leaf],
+                      _conv1d(v) if leaf == "kernel" else v)
+
+        if not ok:
+            unmatched.append(key)
+    return variables, unmatched
+
+
+def import_refinenet_state_dict(state_dict: Dict[str, "object"],
+                                variables: Dict) -> Tuple[Dict, List[str]]:
+    """Merge a reference PoseRefineNet state_dict (feat.* Conv1d trunk +
+    conv{1..3}_{r,t} Linear heads)."""
+    params = variables["params"]
+    unmatched: List[str] = []
+    for key, val in state_dict.items():
+        v = np.asarray(getattr(val, "numpy", lambda: val)())
+        parts = [p for p in key.split(".") if p != "module"]
+        ok = False
+        if parts[0] == "feat":
+            leaf = "kernel" if parts[-1] == "weight" else "bias"
+            ok = _set(params, ["feat", parts[1], leaf],
+                      _conv1d(v) if leaf == "kernel" else v)
+        elif parts[0].startswith("conv") and "_" in parts[0]:
+            leaf = "kernel" if parts[-1] == "weight" else "bias"
+            # upstream refiner heads are Linear, not Conv1d
+            ok = _set(params, [parts[0], leaf],
+                      _linear(v) if leaf == "kernel" else v)
+        if not ok:
+            unmatched.append(key)
+    return variables, unmatched
+
+
+def load_reference_checkpoint(posenet_path: str, variables: Dict,
+                              refinenet_path: str = "") -> Dict:
+    """Load .pth file(s) (torch CPU) into a pipeline variables tree."""
+    import torch
+
+    sd = torch.load(posenet_path, map_location="cpu")
+    variables["posenet"], missed = import_posenet_state_dict(
+        sd, variables["posenet"])
+    if missed:
+        raise ValueError(f"unmatched PoseNet keys: {missed[:10]}"
+                         f"{'...' if len(missed) > 10 else ''}")
+    if refinenet_path:
+        sd = torch.load(refinenet_path, map_location="cpu")
+        variables["refiner"], missed = import_refinenet_state_dict(
+            sd, variables["refiner"])
+        if missed:
+            raise ValueError(f"unmatched RefineNet keys: {missed[:10]}")
+    return variables

@@ -67,8 +67,16 @@ def nn_index(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def chamfer_min_distance(pred: jnp.ndarray, target: jnp.ndarray,
                          use_pallas: bool = False) -> jnp.ndarray:
-    """Dispatcher: (H, M, 3), (M2, 3) -> (H, M) nearest-target distances."""
-    if use_pallas:
+    """Dispatcher: (H, M, 3), (M2, 3) -> (H, M) nearest-target distances.
+
+    Measured on v5e (chained on-device loops): the chunked-matmul XLA path
+    wins for small target clouds (2.7 vs 6.9 ms at M2=500 — it stays
+    HBM-bandwidth-bound), the VMEM-resident Pallas kernel wins once the
+    pairwise matrix outgrows that (1.4x at M2=2048, 9.3x at M2=8192). With
+    use_pallas=True the dispatch picks by target size; both paths are
+    exact and share the gather-through-argmin gradient.
+    """
+    if use_pallas and target.shape[0] > 1024:
         from plr2_tpu.ops.pallas_knn import nn_distance_pallas
         # Mosaic kernels need a TPU; interpret on CPU (tests)
         interpret = jax.default_backend() == "cpu"

@@ -1,4 +1,5 @@
 from plr2_tpu.parallel.mesh import (  # noqa: F401
+    init_distributed,
     make_mesh,
     batch_sharding,
     replicated,

@@ -18,6 +18,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization over DCN (`jax.distributed.initialize`).
+
+    Single-host/single-chip runs (this environment, and the reference's
+    single-GPU topology) never need this; it exists so the same code scales
+    to a multi-host TPU pod slice: call once per host before creating the
+    mesh, then `make_mesh()` spans all global devices and the same
+    NamedSharding-annotated programs run with ICI collectives intra-slice
+    and DCN between hosts.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data",)) -> Mesh:
     """1-D (or reshaped) mesh over the first `n_devices` devices."""

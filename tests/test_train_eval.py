@@ -137,3 +137,17 @@ def test_evaluator_on_synthetic(tiny_ds):
     assert 0.0 <= res.auc <= 100.0
     assert 0.0 <= res.mean_success <= 1.0
     assert np.isfinite(res.mean_distance)
+
+
+def test_evaluator_batched_mode_matches_per_sample(tiny_ds):
+    pipe = DenseFusionPipeline(num_points=96, num_objects=4)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+    kw = dict(sym_list=(1,), refine_iterations=1,
+              diameters=tiny_ds.diameters, max_samples=4)
+    res1 = evaluate(pipe, variables, tiny_ds, **kw)
+    res2 = evaluate(pipe, variables, tiny_ds, batch_size=4, **kw)
+    assert res2.num_samples == res1.num_samples == 4
+    # same protocol; distances differ slightly because the batched mode
+    # pads crops onto a shared canvas (CNN sees zero borders)
+    assert abs(res1.mean_distance - res2.mean_distance) < 0.5
+    assert 0 <= res2.auc <= 100
