@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from plr2_tpu.geometry.quaternion import normalize_quaternion, quat_to_matrix_df
-from plr2_tpu.ops.knn import chamfer_min_distance, pairwise_sq_dist
+from plr2_tpu.ops.knn import chamfer_min_distance, safe_norm
 
 
 class PoseLossOut(NamedTuple):
@@ -79,9 +79,10 @@ def pose_loss(
     pred, rot, t_cand = transform_hypotheses(pred_r, pred_t, points, model_points)
     c = pred_c[..., 0]  # (B, N)
 
-    # ADD: paired mean distance
+    # ADD: paired mean distance (safe_norm: zero gradient at exact zeros,
+    # torch.norm's convention — see ops/knn.py)
     dis_add = jnp.mean(
-        jnp.linalg.norm(pred - target[:, None, :, :], axis=-1), axis=-1
+        safe_norm(pred - target[:, None, :, :]), axis=-1
     )  # (B, N)
 
     if not refine and len(sym_list) > 0:

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from plr2_tpu.geometry.quaternion import normalize_quaternion, quat_to_matrix_df
-from plr2_tpu.ops.knn import chamfer_min_distance
+from plr2_tpu.ops.knn import chamfer_min_distance, safe_norm
 
 
 class RefineLossOut(NamedTuple):
@@ -46,7 +46,7 @@ def refine_loss(
 
     pred = jnp.matmul(model_points, jnp.swapaxes(rot, -1, -2)) + t[:, None, :]
 
-    dis_add = jnp.mean(jnp.linalg.norm(pred - target, axis=-1), axis=-1)  # (B,)
+    dis_add = jnp.mean(safe_norm(pred - target), axis=-1)  # (B,)
     if len(sym_list) > 0:
         sym_arr = jnp.asarray(sym_list, dtype=idx.dtype)
         is_sym = jnp.any(idx[:, None] == sym_arr[None, :], axis=-1)

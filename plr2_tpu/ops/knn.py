@@ -35,6 +35,17 @@ def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(d2, 0.0)
 
 
+def safe_norm(diff: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """L2 norm with zero gradient at exactly zero (torch.norm's backward
+    convention). Plain jnp.linalg.norm yields NaN gradients at 0 — and the
+    cancellation-clamped pairwise d^2 hits exact zeros routinely once
+    predictions approach targets, which then poisons training through the
+    jnp.where ADD/ADD-S select (where does not block NaN cotangents)."""
+    s = jnp.sum(diff * diff, axis=axis)
+    positive = s > 0
+    return jnp.sqrt(jnp.where(positive, s, 1.0)) * positive
+
+
 def nn_distance_xla(pred: jnp.ndarray, target: jnp.ndarray,
                     chunk: int = 128) -> jnp.ndarray:
     """min_k ||pred_j - target_k|| for each pred point.
@@ -43,18 +54,25 @@ def nn_distance_xla(pred: jnp.ndarray, target: jnp.ndarray,
     target: (M2, 3) shared target cloud. Returns (H, M).
     Chunked over hypotheses to bound the live pairwise matrix at
     chunk * M * M2 floats.
+
+    Reference-faithful formulation: the pairwise matrix only selects the
+    argmin index; the returned distance is the norm of the actual
+    difference to the gathered match (exact — no cancellation — and with
+    the gather-through-argmin gradient).
     """
     h = pred.shape[0]
+
+    def block_dist(block):
+        idx = jnp.argmin(pairwise_sq_dist(block, target[None]), axis=-1)
+        matched = jnp.take(jax.lax.stop_gradient(target), idx, axis=0)
+        return safe_norm(block - matched)
+
     if h <= chunk:
-        return jnp.sqrt(jnp.min(pairwise_sq_dist(pred, target[None]), axis=-1))
+        return block_dist(pred)
     pad = (-h) % chunk
     pred_p = jnp.pad(pred, ((0, pad), (0, 0), (0, 0)))
     blocks = pred_p.reshape(-1, chunk, *pred.shape[1:])
-
-    def body(block):
-        return jnp.sqrt(jnp.min(pairwise_sq_dist(block, target[None]), axis=-1))
-
-    out = jax.lax.map(body, blocks)
+    out = jax.lax.map(block_dist, blocks)
     return out.reshape(-1, pred.shape[1])[:h]
 
 

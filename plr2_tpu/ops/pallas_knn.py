@@ -103,4 +103,5 @@ def nn_distance_pallas(pred: jnp.ndarray, target: jnp.ndarray,
         jax.lax.stop_gradient(pred.reshape(-1, 3)),
         jax.lax.stop_gradient(target), interpret=interpret)
     matched = matched.reshape(h, m, 3)
-    return jnp.linalg.norm(pred - matched, axis=-1)
+    from plr2_tpu.ops.knn import safe_norm
+    return safe_norm(pred - matched)

@@ -159,3 +159,47 @@ def test_chamfer_gradient_matches_gather_through_argmin(rng):
 
     g_gather = jax.grad(gathered)(pred)
     np.testing.assert_allclose(np.asarray(g_min), np.asarray(g_gather), atol=1e-5)
+
+
+def test_gradients_finite_at_exact_coincidence(rng):
+    """Regression: when a predicted point coincides exactly with a target
+    point, the clamped pairwise d^2 hits exact zero and naive sqrt/norm
+    gradients are NaN; the NaN then leaks through the ADD/ADD-S jnp.where
+    select even for NON-symmetric samples. safe_norm must keep all
+    gradients finite (torch.norm's zero-subgradient convention)."""
+    b, n, m = 1, 4, 6
+    model_points = jnp.asarray(rng.normal(size=(b, m, 3)).astype(np.float32) * 0.05)
+    points = jnp.zeros((b, n, 3), jnp.float32)
+    # identity quaternion, zero translation -> pred == model_points exactly
+    pred_r = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (b, n, 1))
+    pred_t = jnp.zeros((b, n, 3), jnp.float32)
+    pred_c = jnp.full((b, n, 1), 0.5, jnp.float32)
+    target = model_points  # exact coincidence
+    idx = jnp.zeros((b,), jnp.int32)  # NOT in sym_list
+
+    def f(pr, pt, pc):
+        return pose_loss(pr, pt, pc, target, model_points, idx, points,
+                         w=0.015, refine=False, sym_list=(7, 8)).loss
+
+    gr, gt, gc = jax.grad(f, argnums=(0, 1, 2))(pred_r, pred_t, pred_c)
+    for g in (gr, gt, gc):
+        assert bool(jnp.isfinite(g).all()), g
+
+    # refiner loss at exact coincidence
+    def fr(pr, pt):
+        return jnp.sum(refine_loss(pr, pt, target, model_points, idx, points,
+                                   sym_list=(7, 8)).dis)
+
+    g2 = jax.grad(fr, argnums=(0, 1))(pred_r[:, :1], pred_t[:, :1])
+    for g in g2:
+        assert bool(jnp.isfinite(g).all())
+
+
+def test_safe_norm_matches_torch_convention(rng):
+    from plr2_tpu.ops.knn import safe_norm
+    x = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(safe_norm(x)),
+                               np.linalg.norm(np.asarray(x), axis=-1),
+                               rtol=1e-6)
+    g = jax.grad(lambda v: jnp.sum(safe_norm(v)))(jnp.zeros((2, 3)))
+    np.testing.assert_array_equal(np.asarray(g), 0.0)

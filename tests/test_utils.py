@@ -32,3 +32,35 @@ def test_setup_logger_writes_file(tmp_path):
     logger.info("hello epoch 1")
     text = log_file.read_text()
     assert "hello epoch 1" in text
+
+
+def test_yaml_config_roundtrip(tmp_path):
+    from plr2_tpu.config_io import load_config, save_config, config_from_dict
+    from plr2_tpu.config import get_preset
+
+    cfg = config_from_dict({
+        "preset": "ycb_refine",
+        "dataset": {"num_points": 500, "sym_list": [1, 2]},
+        "train": {"lr": 3e-4},
+        "eval_refine_iterations": 4,
+    })
+    assert cfg.dataset.num_points == 500
+    assert cfg.dataset.sym_list == (1, 2)
+    assert cfg.train.lr == 3e-4
+    assert cfg.eval_refine_iterations == 4
+    # untouched fields inherit the preset
+    assert cfg.model.num_objects == get_preset("ycb_refine").model.num_objects
+
+    p = tmp_path / "cfg.yml"
+    save_config(cfg, str(p))
+    cfg2 = load_config(str(p))
+    assert cfg2 == cfg
+
+
+def test_yaml_config_rejects_unknown_keys():
+    import pytest
+    from plr2_tpu.config_io import config_from_dict
+    with pytest.raises(KeyError, match="unknown"):
+        config_from_dict({"train": {"learning_rate": 1e-4}})
+    with pytest.raises(KeyError, match="unknown"):
+        config_from_dict({"optimizer": "adam"})

@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args():
     p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default="",
+                   help="YAML experiment config (configs/*.yml); flags below "
+                        "override nothing when set — the YAML is authoritative")
     p.add_argument("--dataset", choices=["ycb", "linemod"], default="linemod")
     p.add_argument("--dataset_root", type=str, default="")
     p.add_argument("--batch_size", type=int, default=8)
@@ -55,17 +58,28 @@ def main():
     from plr2_tpu.train import Trainer, CheckpointManager
     from plr2_tpu.utils.logger import setup_logger
 
-    preset = "linemod_train" if args.dataset == "linemod" else "ycb_train"
-    cfg = get_preset(preset)
-    cfg = dataclasses.replace(cfg, train=TrainConfig(
-        batch_size=args.batch_size, lr=args.lr, lr_rate=args.lr_rate,
-        w=args.w, w_rate=args.w_rate, decay_margin=args.decay_margin,
-        refine_margin=args.refine_margin, refine_iterations=args.iteration,
-        nepoch=args.nepoch, repeat_epoch=args.repeat_epoch, seed=args.seed,
-        checkpoint_dir=args.outf, log_dir=args.log_dir,
-        resume_posenet=args.resume_posenet,
-        resume_refinenet=args.resume_refinenet,
-        start_epoch=args.start_epoch))
+    if args.config:
+        from plr2_tpu.config_io import load_config
+        cfg = load_config(args.config)
+        if cfg.dataset.name in ("ycb", "linemod"):
+            args.dataset = cfg.dataset.name
+        if cfg.dataset.root:
+            args.dataset_root = cfg.dataset.root
+    else:
+        preset = "linemod_train" if args.dataset == "linemod" else "ycb_train"
+        cfg = get_preset(preset)
+    if not args.config:
+        cfg = dataclasses.replace(cfg, train=TrainConfig(
+            batch_size=args.batch_size, lr=args.lr, lr_rate=args.lr_rate,
+            w=args.w, w_rate=args.w_rate, decay_margin=args.decay_margin,
+            refine_margin=args.refine_margin, refine_iterations=args.iteration,
+            nepoch=args.nepoch, repeat_epoch=args.repeat_epoch, seed=args.seed,
+            checkpoint_dir=args.outf, log_dir=args.log_dir,
+            resume_posenet=args.resume_posenet,
+            resume_refinenet=args.resume_refinenet,
+            start_epoch=args.start_epoch))
+    else:
+        args.nepoch = cfg.train.nepoch
 
     if args.synthetic:
         np_ = cfg.model.num_points
