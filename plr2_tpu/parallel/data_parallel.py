@@ -24,25 +24,35 @@ from plr2_tpu.pipeline import DenseFusionPipeline
 
 def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
                     w: float, lr: float, refine_iterations: int = 0,
-                    mesh=None, use_pallas: bool = False):
+                    mesh=None, use_pallas: bool = False,
+                    remat: bool = False):
     """Returns (init_opt_state, train_step). train_step signature:
     (variables, opt_state, batch) -> (variables, opt_state, metrics).
 
     batch = dict(img, points, choose, target, model_points, idx) with a
     leading batch axis. With `mesh`, in/out shardings pin the batch to the
-    `data` axis and everything else replicated.
+    `data` axis and everything else replicated. With `remat`, the PoseNet
+    forward is rematerialized in the backward pass (jax.checkpoint) —
+    trades ~1/3 more FLOPs for dropping the CNN activation residuals,
+    enabling much larger per-chip batches.
     """
     tx = optax.adam(lr)
 
     def init_opt_state(variables):
         return tx.init(variables["posenet"]["params"])
 
-    def _loss(params, batch_stats, refiner_params, batch, dropout_key):
-        (pred_r, pred_t, pred_c, emb), mutated = pipe.posenet.apply(
+    def _forward(params, batch_stats, batch, dropout_key):
+        return pipe.posenet.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["img"], batch["points"], batch["choose"], batch["idx"],
             train=True, mutable=["batch_stats"],
             rngs={"dropout": dropout_key})
+
+    forward = jax.checkpoint(_forward) if remat else _forward
+
+    def _loss(params, batch_stats, refiner_params, batch, dropout_key):
+        (pred_r, pred_t, pred_c, emb), mutated = forward(
+            params, batch_stats, batch, dropout_key)
         out = pose_loss(pred_r, pred_t, pred_c, batch["target"],
                         batch["model_points"], batch["idx"], batch["points"],
                         w=w, refine=refine_iterations > 0, sym_list=sym_list,

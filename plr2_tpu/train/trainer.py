@@ -235,7 +235,11 @@ class Trainer:
 
     def fit(self, state: TrainState, train_ds, test_ds, key,
             epochs: Optional[int] = None, log_fn=print,
-            checkpoint_fn=None) -> TrainState:
+            checkpoint_fn=None, save_last_fn=None) -> TrainState:
+        """Epoch loop. `checkpoint_fn(state, test_dis)` fires on
+        best-metric improvement (reference semantics); `save_last_fn(state)`
+        fires every epoch for crash-resume (tag 'last' — restart recovery
+        beyond the reference's manual --resume_* flags)."""
         epochs = epochs or self.cfg.train.nepoch
         for _ in range(epochs):
             state.epoch += 1
@@ -250,4 +254,6 @@ class Trainer:
                    f"refine={state.refine_started} ({info['seconds']:.1f}s)")
             if improved and checkpoint_fn is not None:
                 checkpoint_fn(state, test_dis)
+            if save_last_fn is not None:
+                save_last_fn(state)
         return state

@@ -78,3 +78,18 @@ def test_sharded_inference_step():
     assert bool(jnp.isfinite(est.quat).all())
     # output really is sharded over the data axis
     assert len(est.quat.sharding.device_set) == 8
+
+
+def test_train_step_with_remat_matches_plain():
+    pipe = DenseFusionPipeline(num_points=32, num_objects=4)
+    variables = pipe.init(jax.random.key(0), crop_hw=48, batch=1)
+    batch = _make_batch(4, 32, 16, 48, 4, jax.random.key(7))
+    init_a, step_a = make_train_step(pipe, sym_list=(1,), w=0.015, lr=1e-4)
+    init_b, step_b = make_train_step(pipe, sym_list=(1,), w=0.015, lr=1e-4,
+                                     remat=True)
+    va, oa, ma = step_a(variables, init_a(variables), batch, jax.random.key(1))
+    vb, ob, mb = step_b(variables, init_b(variables), batch, jax.random.key(1))
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    a = jax.tree_util.tree_leaves(va["posenet"]["params"])[0]
+    b = jax.tree_util.tree_leaves(vb["posenet"]["params"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -114,12 +114,17 @@ def main():
         state = ckpt.restore_into(state, tag=args.resume_posenet or "best")
         logger.info(f"resumed from epoch {state.epoch} "
                     f"(best_test={state.best_test:.5f})")
+    elif ckpt.restore("last") is not None:
+        # crash recovery: continue from the most recent epoch automatically
+        state = ckpt.restore_into(state, tag="last")
+        logger.info(f"auto-resumed from last checkpoint (epoch {state.epoch})")
 
     logger.info(f"training {args.dataset}: {len(train_ds)} train / "
                 f"{len(test_ds)} test samples")
     trainer.fit(state, train_ds, test_ds, jax.random.key(args.seed + 1),
                 epochs=args.nepoch, log_fn=logger.info,
-                checkpoint_fn=lambda s, d: ckpt.save(s, d))
+                checkpoint_fn=lambda s, d: ckpt.save(s, d),
+                save_last_fn=lambda s: ckpt.save(s, s.best_test, tag="last"))
 
 
 if __name__ == "__main__":
