@@ -1,0 +1,213 @@
+"""Exercise the REAL LineMOD / YCB dataset loaders end-to-end by writing
+miniature on-disk datasets in the exact upstream directory layouts
+(synthetic frames rendered with known poses, saved as PNG/yml/mat/ply/xyz),
+then verifying parsing, units, and that the loaded samples' clouds land on
+the GT-posed model surface."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from plr2_tpu.data.synthetic import box_model_points, render_frame, random_pose
+from plr2_tpu.data.loader import raw_to_sample
+
+
+def _write_png(path, arr):
+    from PIL import Image
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture(scope="module")
+def linemod_root(tmp_path_factory):
+    """Miniature Linemod_preprocessed tree: object 01, two frames."""
+    import yaml
+
+    root = tmp_path_factory.mktemp("linemod")
+    obj = 1
+    obj_dir = root / "data" / f"{obj:02d}"
+    for sub in ("rgb", "depth", "mask"):
+        os.makedirs(obj_dir / sub)
+    os.makedirs(root / "models")
+
+    # model in mm (upstream PLY units), ~3k points for a dense mask
+    mp_m = box_model_points(3000, extent=(0.05, 0.06, 0.04), seed=3)
+    mp_mm = mp_m * 1000.0
+    with open(root / "models" / f"obj_{obj:02d}.ply", "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(mp_mm)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("end_header\n")
+        for p in mp_mm:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+    with open(root / "models" / "models_info.yml", "w") as f:
+        d_mm = float(np.linalg.norm(mp_mm.max(0) - mp_mm.min(0)))
+        yaml.safe_dump({obj: {"diameter": d_mm}}, f)
+
+    # LineMOD intrinsics (dataset constants); depth in mm => cam_scale 1000
+    intr = dict(cx=325.26110, cy=242.04899, fx=572.41140, fy=573.57043,
+                cam_scale=1000.0)
+    gt = {}
+    rng = np.random.default_rng(0)
+    for fr in range(2):
+        r, t = random_pose(rng)
+        frame = render_frame({obj: mp_m}, {obj: (r, t)}, intrinsics=intr,
+                             seed=fr)
+        _write_png(obj_dir / "rgb" / f"{fr:04d}.png", frame.color)
+        from PIL import Image
+        Image.fromarray(frame.depth).save(obj_dir / "depth" / f"{fr:04d}.png")
+        _write_png(obj_dir / "mask" / f"{fr:04d}.png",
+                   ((frame.label == obj) * 255).astype(np.uint8))
+        gt[fr] = [{
+            "obj_id": obj,
+            "cam_R_m2c": [float(x) for x in r.reshape(-1)],
+            "cam_t_m2c": [float(x) for x in (t * 1000.0)],  # mm
+        }]
+    with open(obj_dir / "gt.yml", "w") as f:
+        yaml.safe_dump(gt, f)
+    with open(obj_dir / "info.yml", "w") as f:
+        yaml.safe_dump({fr: {"depth_scale": 1.0} for fr in range(2)}, f)
+    with open(obj_dir / "train.txt", "w") as f:
+        f.write("0\n")
+    with open(obj_dir / "test.txt", "w") as f:
+        f.write("1\n")
+    return str(root)
+
+
+def test_linemod_loader_end_to_end(linemod_root):
+    from plr2_tpu.data import LinemodDataset
+
+    ds = LinemodDataset(linemod_root, "train", num_points=300,
+                        num_mesh_points=400, objlist=[1])
+    assert len(ds) == 1
+    assert 1 in ds.diameters and 0.05 < ds.diameters[1] < 0.2
+    raw = ds.get_raw(0)
+    assert raw["obj_idx"] == 0
+    assert raw["model_points"].shape == (400, 3)
+    # model points back in metres
+    assert np.abs(raw["model_points"]).max() < 0.2
+
+    s = raw_to_sample(raw, jax.random.key(0), 300, add_noise=False)
+    target = np.asarray(s.target)
+    pts = np.asarray(s.points)
+    d2 = ((pts[:, None] - target[None]) ** 2).sum(-1)
+    # backprojected cloud lies on the GT-posed surface (few mm at 16-bit
+    # depth quantization + sparse target sampling)
+    assert np.median(np.sqrt(d2.min(1))) < 0.02
+    # test split works too
+    ds_test = LinemodDataset(linemod_root, "test", num_points=300,
+                             num_mesh_points=400, objlist=[1])
+    assert len(ds_test) == 1
+
+
+def test_linemod_loader_missing_root_raises(tmp_path):
+    from plr2_tpu.data import LinemodDataset
+    with pytest.raises(FileNotFoundError):
+        LinemodDataset(str(tmp_path / "nope"), "train")
+
+
+@pytest.fixture(scope="module")
+def ycb_root(tmp_path_factory):
+    """Miniature YCB_Video_Dataset tree: one real + one synthetic frame."""
+    import scipy.io as sio
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("ycb")
+    os.makedirs(root / "data" / "0001")
+    os.makedirs(root / "data_syn")
+    os.makedirs(root / "dataset_config")
+
+    classes = ["002_master_chef_can", "003_cracker_box"]
+    models = {}
+    for ci, name in enumerate(classes):
+        os.makedirs(root / "models" / name)
+        mp = box_model_points(2000, extent=(0.04, 0.05, 0.05), seed=10 + ci)
+        np.savetxt(root / "models" / name / "points.xyz", mp, fmt="%.6f")
+        models[ci] = mp
+
+    intr = dict(cx=312.9869, cy=241.3109, fx=1066.778, fy=1067.487,
+                cam_scale=10000.0)
+    rng = np.random.default_rng(1)
+    frames = []
+    for i, rel in enumerate(["data/0001/000001", "data_syn/000002"]):
+        poses = {}
+        for ci in range(2):
+            r, t = random_pose(rng)
+            t[0] = -0.12 + 0.24 * ci
+            poses[ci + 1] = (r, t)
+        frame = render_frame({ci + 1: models[ci] for ci in range(2)}, poses,
+                             intrinsics=intr, seed=100 + i)
+        base = root / rel
+        Image.fromarray(frame.color).save(str(base) + "-color.png")
+        Image.fromarray(frame.depth).save(str(base) + "-depth.png")
+        Image.fromarray(frame.label.astype(np.uint8)).save(
+            str(base) + "-label.png")
+        k = len(poses)
+        pose_arr = np.zeros((3, 4, k), dtype=np.float64)
+        cls = np.zeros((k, 1), dtype=np.float64)
+        for j, (obj_id, (r, t)) in enumerate(sorted(poses.items())):
+            pose_arr[:, :3, j] = r
+            pose_arr[:, 3, j] = t
+            cls[j, 0] = obj_id
+        sio.savemat(str(base) + "-meta.mat",
+                    {"poses": pose_arr, "cls_indexes": cls,
+                     "factor_depth": np.array([[10000.0]]),
+                     "intrinsic_matrix": np.array(
+                         [[intr["fx"], 0, intr["cx"]],
+                          [0, intr["fy"], intr["cy"]], [0, 0, 1]])})
+        frames.append(rel)
+
+    with open(root / "dataset_config" / "classes.txt", "w") as f:
+        f.write("\n".join(classes) + "\n")
+    with open(root / "dataset_config" / "train_data_list.txt", "w") as f:
+        f.write("\n".join(frames) + "\n")
+    with open(root / "dataset_config" / "test_data_list.txt", "w") as f:
+        f.write(frames[0] + "\n")
+    return str(root)
+
+
+def test_ycb_loader_end_to_end(ycb_root):
+    from plr2_tpu.data import YCBDataset
+
+    ds = YCBDataset(ycb_root, "train", num_points=400, num_mesh_points=300)
+    assert len(ds) == 2
+    assert len(ds.classes) == 2
+    fr = ds.get_frame(0)
+    assert set(fr["objects"].keys()) == {0, 1}
+    assert fr["intrinsics"]["cam_scale"] == 10000.0
+
+    raw = ds.get_raw(0, obj_idx=0)
+    s = raw_to_sample(raw, jax.random.key(0), 400, add_noise=False)
+    target = np.asarray(s.target)
+    pts = np.asarray(s.points)
+    d2 = ((pts[:, None] - target[None]) ** 2).sum(-1)
+    assert np.median(np.sqrt(d2.min(1))) < 0.02
+
+    # synthetic frame composites over the real background (no crash path)
+    raw_syn = ds.get_raw(1, obj_idx=1)
+    assert raw_syn["mask"].sum() > 20
+
+
+def test_train_epoch_on_real_layout_linemod(linemod_root):
+    """One curriculum train epoch through the real LineMOD loader path."""
+    from plr2_tpu.config import (DatasetConfig, ModelConfig, PipelineConfig,
+                                 TrainConfig)
+    from plr2_tpu.data import LinemodDataset
+    from plr2_tpu.train import Trainer
+
+    cfg = PipelineConfig(
+        dataset=DatasetConfig(name="linemod", num_points=96, num_objects=13,
+                              num_mesh_points=128, sym_list=(7, 8)),
+        model=ModelConfig(num_points=96, num_objects=13, use_pallas=False),
+        train=TrainConfig(batch_size=1, nepoch=1))
+    train_ds = LinemodDataset(linemod_root, "train", num_points=96,
+                              num_mesh_points=128, objlist=[1])
+    test_ds = LinemodDataset(linemod_root, "test", num_points=96,
+                             num_mesh_points=128, objlist=[1], add_noise=False)
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.key(0), crop_hw=80)
+    state, info = tr.train_epoch(state, train_ds, jax.random.key(1))
+    assert np.isfinite(info["train_loss"])
+    dis = tr.test_epoch(state, test_ds, jax.random.key(2))
+    assert np.isfinite(dis)
