@@ -4,5 +4,6 @@ from plr2_tpu.eval.metrics import (  # noqa: F401
     pose_distance,
     success_rate,
     compute_auc,
+    accuracy_threshold_curve,
 )
 from plr2_tpu.eval.evaluator import evaluate, EvalResult  # noqa: F401

@@ -51,6 +51,19 @@ def success_rate(distances: Sequence[float], threshold: float) -> float:
     return float(np.mean(d < threshold))
 
 
+def accuracy_threshold_curve(distances: Sequence[float],
+                             max_dist: float = 0.1,
+                             num_thresholds: int = 100):
+    """(thresholds, accuracy) arrays — the toolbox's plot_accuracy_keyframe
+    curve (accuracy(t) = fraction of samples with distance <= t)."""
+    d = np.asarray(list(distances), dtype=np.float64)
+    ts = np.linspace(0.0, max_dist, num_thresholds + 1)
+    if d.size == 0:
+        return ts, np.zeros_like(ts)
+    acc = (d[None, :] <= ts[:, None]).mean(axis=1)
+    return ts, acc
+
+
 def compute_auc(distances: Sequence[float], max_dist: float = 0.1) -> float:
     """ADD-S AUC in [0, 100], toolbox VOCap semantics."""
     d = np.asarray(list(distances), dtype=np.float64)

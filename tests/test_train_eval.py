@@ -151,3 +151,14 @@ def test_evaluator_batched_mode_matches_per_sample(tiny_ds):
     # pads crops onto a shared canvas (CNN sees zero borders)
     assert abs(res1.mean_distance - res2.mean_distance) < 0.5
     assert 0 <= res2.auc <= 100
+
+
+def test_accuracy_threshold_curve():
+    from plr2_tpu.eval import accuracy_threshold_curve
+    ts, acc = accuracy_threshold_curve([0.01, 0.05, 0.2], max_dist=0.1,
+                                       num_thresholds=10)
+    assert ts.shape == acc.shape == (11,)
+    assert acc[0] == 0.0
+    # at t=0.05: two of three samples within threshold
+    np.testing.assert_allclose(acc[5], 2 / 3)
+    assert acc[-1] == pytest.approx(2 / 3)  # 0.2 is out of range
