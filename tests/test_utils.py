@@ -64,3 +64,16 @@ def test_yaml_config_rejects_unknown_keys():
         config_from_dict({"train": {"learning_rate": 1e-4}})
     with pytest.raises(KeyError, match="unknown"):
         config_from_dict({"optimizer": "adam"})
+
+
+def test_checked_raises_on_nan():
+    import pytest
+    from plr2_tpu.utils.debug import checked
+
+    def bad(x):
+        return jnp.log(x)  # NaN for negative input
+
+    f = checked(bad)
+    assert float(f(jnp.asarray(1.0))) == 0.0
+    with pytest.raises(Exception, match="nan"):
+        f(jnp.asarray(-1.0))
