@@ -83,9 +83,10 @@ class PoseNet(nn.Module):
     def __call__(self, img, cloud, choose, obj, *, train: bool = False):
         """img: (B, H, W, 3) normalized crop; cloud: (B, N, 3);
         choose: (B, N) int32; obj: (B,) int32 object index."""
-        emb_map = PSPNet(emb_dim=self.emb_dim, dtype=self.dtype,
-                         name="cnn")(img, train=train)
-        emb = gather_emb(emb_map, choose)  # (B, N, 32)
+        # gather-before-final-conv: exact commute (1x1 conv + per-pixel
+        # log_softmax), skips the full-res 32ch map + softmax
+        emb = PSPNet(emb_dim=self.emb_dim, dtype=self.dtype,
+                     name="cnn")(img, train=train, choose=choose)  # (B, N, 32)
         feat = PoseNetFeat(dtype=self.dtype, name="feat")(cloud, emb)
 
         def head(out_dim: int, tag: str) -> jnp.ndarray:

@@ -100,7 +100,14 @@ class PSPUpsample(nn.Module):
 
 
 class PSPNet(nn.Module):
-    """Full color encoder: image crop (B, H, W, 3) -> embedding (B, H, W, 32)."""
+    """Full color encoder: image crop (B, H, W, 3) -> embedding (B, H, W, 32).
+
+    When `choose` (B, N) flat pixel indices are given, the gather happens
+    BEFORE the final 1x1 conv and log-softmax (both are per-pixel, so
+    gather commutes exactly) and the return is the gathered (B, N, 32)
+    embedding — skipping the full-resolution 32-channel map write and the
+    25k-pixel softmax that only 1000 chosen pixels ever use.
+    """
 
     emb_dim: int = 32
     sizes: Sequence[int] = (1, 2, 3, 6)
@@ -109,7 +116,7 @@ class PSPNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, choose=None):
         f = DilatedResNet18(dtype=self.dtype, name="feats")(x, train=train)
         p = PSPModule(out_features=self.psp_out, sizes=self.sizes,
                       dtype=self.dtype, name="psp")(f)
@@ -119,7 +126,14 @@ class PSPNet(nn.Module):
         p = PSPUpsample(64, dtype=self.dtype, name="up_2")(p)
         p = nn.Dropout(0.15, deterministic=not train, name="drop_2b")(p)
         p = PSPUpsample(64, dtype=self.dtype, name="up_3")(p)
+        if choose is not None:
+            b, h, w, c = p.shape
+            p = jnp.take_along_axis(p.reshape(b, h * w, c),
+                                    choose[..., None], axis=1)
+            p = p[:, :, None, :]  # (B, N, 1, 64): 1x1 conv as per-row dense
         p = nn.Conv(self.emb_dim, (1, 1), dtype=self.dtype, name="final")(p)
         if self.log_softmax_final:
             p = jax.nn.log_softmax(p, axis=-1)
+        if choose is not None:
+            p = p[:, :, 0, :]  # (B, N, emb_dim)
         return p
