@@ -1,0 +1,56 @@
+"""PoseCNN segmentation-results loader.
+
+The reference's tools/eval_ycb.py consumes precomputed PoseCNN outputs
+(results_PoseCNN_RSS2018/%06d.mat with a per-pixel `labels` map and
+`rois`/`poses` detections — SURVEY.md section 2 #12). This module loads
+those files so the full pipeline can evaluate with PoseCNN masks exactly
+like the reference, as an alternative to GT labels or the in-repo SegNet.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def load_posecnn_result(mat_path: str) -> Dict:
+    """-> dict(labels (H, W) int32, rois (K, >=2) or None, poses or None)."""
+    import scipy.io as sio
+
+    m = sio.loadmat(mat_path)
+    out = {"labels": np.asarray(m["labels"], dtype=np.int32)}
+    out["rois"] = np.asarray(m["rois"]) if "rois" in m else None
+    out["poses"] = np.asarray(m["poses"]) if "poses" in m else None
+    return out
+
+
+class PoseCNNMasks:
+    """Callable mask provider for evaluate_full_pipeline's `seg_predict`
+    slot, keyed by frame order: results dir contains %06d.mat in the same
+    order as the evaluated keyframe list (the reference convention)."""
+
+    def __init__(self, results_dir: str):
+        self.results_dir = results_dir
+        self._index = 0
+
+    def detected_objects(self, frame_idx: int) -> Optional[List[int]]:
+        r = self._load(frame_idx)
+        if r["rois"] is None:
+            return None
+        return [int(x) for x in r["rois"][:, 1]]
+
+    def _load(self, frame_idx: int) -> Dict:
+        return load_posecnn_result(
+            os.path.join(self.results_dir, f"{frame_idx:06d}.mat"))
+
+    def labels_for_frame(self, frame_idx: int) -> np.ndarray:
+        return self._load(frame_idx)["labels"]
+
+    def __call__(self, color: np.ndarray) -> np.ndarray:
+        """Sequential-call protocol used by evaluate_full_pipeline (one call
+        per frame, in order)."""
+        labels = self.labels_for_frame(self._index)
+        self._index += 1
+        return labels

@@ -183,3 +183,31 @@ def test_stack_samples_batches_and_restrides():
         orig = np.asarray(s.img).reshape(-1, 3)[np.asarray(s.choose)]
         new = np.asarray(batch.img[b]).reshape(-1, 3)[np.asarray(batch.choose[b])]
         np.testing.assert_allclose(new, orig, atol=1e-6)
+
+
+def test_posecnn_results_loader(tmp_path):
+    """Write a results_PoseCNN_RSS2018-style .mat and consume it through
+    the full pipeline's mask-provider protocol."""
+    import scipy.io as sio
+    from plr2_tpu.data.posecnn import PoseCNNMasks, load_posecnn_result
+
+    labels0 = np.zeros((480, 640), np.int32)
+    labels0[100:150, 200:260] = 3
+    sio.savemat(tmp_path / "000000.mat",
+                {"labels": labels0,
+                 "rois": np.array([[0.0, 3.0, 0, 200, 100, 260, 150]]),
+                 "poses": np.zeros((1, 7))})
+    labels1 = np.zeros((480, 640), np.int32)
+    labels1[300:340, 100:150] = 5
+    sio.savemat(tmp_path / "000001.mat", {"labels": labels1})
+
+    r = load_posecnn_result(str(tmp_path / "000000.mat"))
+    np.testing.assert_array_equal(r["labels"], labels0)
+    assert r["rois"].shape[0] == 1
+
+    masks = PoseCNNMasks(str(tmp_path))
+    assert masks.detected_objects(0) == [3]
+    out0 = masks(np.zeros((480, 640, 3), np.uint8))  # frame 0
+    out1 = masks(np.zeros((480, 640, 3), np.uint8))  # frame 1
+    np.testing.assert_array_equal(out0, labels0)
+    np.testing.assert_array_equal(out1, labels1)

@@ -25,9 +25,13 @@ def main():
                    help="BASELINE config 5: per-frame batched multi-object "
                         "estimation through masks (GT labels here; use "
                         "tools/train_segmentation.py output for SegNet masks)")
+    p.add_argument("--posecnn_results", type=str, default="",
+                   help="results_PoseCNN_RSS2018-style dir of %%06d.mat "
+                        "segmentations to use as masks (reference eval_ycb "
+                        "protocol; implies --full_pipeline)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
-    if args.save_mat:
+    if args.save_mat or args.posecnn_results:
         args.full_pipeline = True
 
     import jax
@@ -78,10 +82,15 @@ def main():
                     poses=poses, intrinsics=fr["intrinsics"]))
                 for oid in fr["objects"]:
                     models[oid + 1] = ds.model_points[oid]
+        seg_predict = None
+        if args.posecnn_results:
+            from plr2_tpu.data.posecnn import PoseCNNMasks
+            seg_predict = PoseCNNMasks(args.posecnn_results)
         res = evaluate_full_pipeline(
             pipe, state.variables, frames, models,
             sym_list=cfg.dataset.sym_list,
             refine_iterations=args.refine_iterations,
+            seg_predict=seg_predict,
             save_mat_dir=args.save_mat)
         print(f"ADD-S AUC (<0.1 m): {res.auc:.2f}")
         print(f"ADD-S < 2 cm:       {res.under_2cm * 100:.2f}%")
