@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Full-curriculum end-to-end proof on synthetic data: batched training
+through the decay and refiner-switch stages, best-checkpoint saving, then
+held-out evaluation with the standard protocol (ADD-S AUC, <2cm).
+
+Unlike tools/overfit_synthetic.py (which overfits one batch), this trains
+on many frames and evaluates generalization to unseen frames of the same
+objects.
+
+  python tools/train_synthetic_e2e.py --steps 1500
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--num_points", type=int, default=500)
+    p.add_argument("--train_frames", type=int, default=24)
+    p.add_argument("--test_frames", type=int, default=6)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--eval_every", type=int, default=200)
+    p.add_argument("--outf", type=str, default="trained_models/synthetic_e2e")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plr2_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from plr2_tpu.config import DatasetConfig, ModelConfig, PipelineConfig, TrainConfig
+    from plr2_tpu.data import SyntheticPoseDataset, raw_to_sample, stack_samples
+    from plr2_tpu.eval import evaluate
+    from plr2_tpu.parallel import make_train_step
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.train import CheckpointManager, Trainer
+
+    num_objects = 4
+    train_ds = SyntheticPoseDataset(num_frames=args.train_frames,
+                                    num_objects=2, model_points=256,
+                                    num_points=args.num_points, seed=0)
+    # held-out frames: different seeds -> novel box instances and poses
+    test_ds = SyntheticPoseDataset(num_frames=args.test_frames,
+                                   num_objects=2, model_points=256,
+                                   num_points=args.num_points, seed=31)
+
+    pipe = DenseFusionPipeline(num_points=args.num_points,
+                               num_objects=num_objects)
+    cfg = PipelineConfig(
+        dataset=DatasetConfig(num_points=args.num_points,
+                              num_objects=num_objects, sym_list=(0, 1, 2, 3)),
+        model=ModelConfig(num_points=args.num_points, num_objects=num_objects),
+        train=TrainConfig(lr=args.lr))
+    trainer = Trainer(cfg, pipe)
+    state = trainer.init_state(jax.random.key(0), crop_hw=80)
+    ckpt = CheckpointManager(args.outf)
+
+    # pre-build all train batches once (host prep), cycle through them
+    print("preparing batches...", flush=True)
+    key = jax.random.key(1)
+    samples = []
+    for i in range(len(train_ds)):
+        key, sub = jax.random.split(key)
+        samples.append(raw_to_sample(train_ds.get_raw(i), sub,
+                                     args.num_points, add_noise=True))
+    batches = []
+    for s0 in range(0, len(samples) - args.batch + 1, args.batch):
+        bs = stack_samples(samples[s0:s0 + args.batch], crop=240)
+        batches.append({"img": bs.img, "points": bs.points,
+                        "choose": bs.choose, "target": bs.target,
+                        "model_points": bs.model_points, "idx": bs.idx})
+    if not batches:
+        bs = stack_samples(samples, crop=240)
+        batches = [{"img": bs.img, "points": bs.points, "choose": bs.choose,
+                    "target": bs.target, "model_points": bs.model_points,
+                    "idx": bs.idx}]
+    print(f"{len(batches)} batches of {args.batch}", flush=True)
+
+    stage = {"refine": False, "lr": args.lr, "w": 0.015}
+
+    def build_step():
+        init_fn, step = make_train_step(
+            pipe, sym_list=(0, 1, 2, 3), w=stage["w"], lr=stage["lr"],
+            refine_iterations=(cfg.train.refine_iterations
+                               if stage["refine"] else 0),
+            use_pallas=jax.default_backend() != "cpu")
+        return init_fn, step
+
+    init_fn, step = build_step()
+    opt_state = init_fn(state.variables)
+    t0 = time.time()
+    for i in range(args.steps):
+        b = batches[i % len(batches)]
+        state.variables, opt_state, m = step(state.variables, opt_state, b,
+                                             jax.random.key(i))
+        if (i + 1) % args.eval_every == 0 or i == args.steps - 1:
+            test_dis = trainer.test_epoch(state, test_ds, jax.random.key(10**6 + i))
+            improved = test_dis < state.best_test
+            prev = (state.decay_started, state.refine_started)
+            state = trainer.update_curriculum(state, test_dis)
+            print(f"step {i+1:5d}: train_dis={float(m['dis']):.5f} "
+                  f"test_dis={test_dis:.5f} best={state.best_test:.5f} "
+                  f"decay={state.decay_started} refine={state.refine_started} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+            if improved:
+                ckpt.save(state, test_dis)
+            if (state.decay_started, state.refine_started) != prev:
+                stage["lr"], stage["w"] = state.lr, state.w
+                stage["refine"] = state.refine_started
+                init_fn, step = build_step()
+                opt_state = init_fn(state.variables)
+                print(f"  curriculum switch: lr={state.lr:g} w={state.w:g} "
+                      f"refine={state.refine_started} (recompiling)", flush=True)
+
+    # final held-out evaluation with the standard protocol
+    res = evaluate(pipe, state.variables, test_ds, sym_list=(0, 1, 2, 3),
+                   refine_iterations=(2 if state.refine_started else 0),
+                   diameters=test_ds.diameters)
+    print(f"FINAL: ADD-S AUC={res.auc:.2f}  <2cm={res.under_2cm*100:.1f}%  "
+          f"mean_dis={res.mean_distance:.4f} m  "
+          f"mean_success={res.mean_success*100:.1f}% "
+          f"({res.num_samples} held-out samples)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
