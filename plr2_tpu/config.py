@@ -13,7 +13,7 @@ The five presets match /root/repo/BASELINE.json:6-12.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -25,8 +25,8 @@ class DatasetConfig:
     num_points: int = 500  # sampled cloud points per object
     num_objects: int = 13
     num_mesh_points: int = 500  # model points used by the ADD loss
-    # symmetric object indices (LineMOD: eggbox=7, glue=8 in the 13-class list;
-    # YCB: 051_large_clamp=12(wait: indices 12,15,18,19,20 upstream))
+    # symmetric object indices (LineMOD: eggbox=7, glue=8 in the 13-class
+    # list; YCB: 12, 15, 18, 19, 20 — see _YCB_SYM below)
     sym_list: Tuple[int, ...] = (7, 8)
     add_noise: bool = True
     noise_trans: float = 0.03

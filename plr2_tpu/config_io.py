@@ -16,8 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict
 
-from plr2_tpu.config import (
-    DatasetConfig, ModelConfig, PipelineConfig, TrainConfig, get_preset)
+from plr2_tpu.config import PipelineConfig, get_preset
 
 
 def _replace_section(obj, overrides: Dict[str, Any]):

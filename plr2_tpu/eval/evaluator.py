@@ -24,6 +24,7 @@ from plr2_tpu.pipeline import DenseFusionPipeline
 @dataclass
 class EvalResult:
     per_object_success: Dict[int, float] = field(default_factory=dict)
+    per_object_auc: Dict[int, float] = field(default_factory=dict)
     mean_success: float = 0.0
     auc: float = 0.0
     under_2cm: float = 0.0
@@ -108,6 +109,7 @@ def evaluate(
     result.mean_distance = float(np.mean(dists))
     result.auc = compute_auc(dists)
     result.under_2cm = success_rate(dists, 0.02)
+    result.per_object_auc = {obj: compute_auc(d) for obj, d in per_obj.items()}
     if diameters:
         succ = {
             obj: success_rate(d, 0.1 * diameters.get(obj, 0.1))

@@ -10,7 +10,6 @@ accumulation loop in train/trainer.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

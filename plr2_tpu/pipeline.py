@@ -10,7 +10,7 @@ preprocessed crop/cloud and returns the final (q, t) pose.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

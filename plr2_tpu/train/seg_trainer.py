@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -104,6 +104,8 @@ def main():
                    sym_list=cfg.dataset.sym_list,
                    refine_iterations=args.refine_iterations,
                    max_samples=args.max_samples)
+    for obj, auc in sorted(res.per_object_auc.items()):
+        print(f"object {obj:2d}: AUC {auc:6.2f}")
     print(f"ADD-S AUC (<0.1 m): {res.auc:.2f}")
     print(f"ADD-S < 2 cm:       {res.under_2cm * 100:.2f}%")
     print(f"mean distance:      {res.mean_distance:.4f} m "
