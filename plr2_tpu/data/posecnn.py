@@ -35,6 +35,11 @@ class PoseCNNMasks:
         self.results_dir = results_dir
         self._index = 0
 
+    def reset(self) -> None:
+        """Restart the sequential frame counter (called automatically by
+        evaluate_full_pipeline at the start of each run)."""
+        self._index = 0
+
     def detected_objects(self, frame_idx: int) -> Optional[List[int]]:
         r = self._load(frame_idx)
         if r["rois"] is None:

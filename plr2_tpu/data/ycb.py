@@ -43,6 +43,7 @@ class YCBDataset:
         self.noise_trans = noise_trans
         rng = np.random.default_rng(seed)
 
+        self._rng = np.random.default_rng(seed + 0x5EED)
         list_file = os.path.join(
             root, "dataset_config",
             "train_data_list.txt" if mode == "train" else "test_data_list.txt")
@@ -100,9 +101,11 @@ class YCBDataset:
 
         if fp.startswith("data_syn") and self.real_frames:
             # composite synthetic foreground over a random real background
-            rng = np.random.default_rng(i)
+            # (fresh draw per visit: the reference re-randomizes every
+            # __getitem__, so every epoch composites differently)
             bg_path = os.path.join(
-                self.root, self.real_frames[rng.integers(len(self.real_frames))])
+                self.root,
+                self.real_frames[self._rng.integers(len(self.real_frames))])
             bg = np.asarray(Image.open(bg_path + "-color.png").convert("RGB"))
             fg = label > 0
             color = np.where(fg[..., None], color, bg)
@@ -121,8 +124,10 @@ class YCBDataset:
         fr = self.get_frame(i)
         objs = sorted(fr["objects"])
         if obj_idx is None:
-            rng = np.random.default_rng(i)
-            obj_idx = objs[rng.integers(len(objs))]
+            # fresh draw per visit so all labelled objects of a frame are
+            # trained on across epochs (the reference re-randomizes each
+            # __getitem__; a fixed per-index seed would train ~1/K of them)
+            obj_idx = objs[int(self._rng.integers(len(objs)))]
         pose = fr["objects"][obj_idx]
         mask = (fr["label"] == obj_idx + 1) & (fr["depth"] > 0)
         return dict(

@@ -56,6 +56,9 @@ def evaluate_full_pipeline(
     save_mat_dir: str = "",
 ) -> FullPipelineResult:
     n_pts = num_points or pipe.num_points
+    # sequential mask providers (PoseCNNMasks) track frame order internally
+    if seg_predict is not None and hasattr(seg_predict, "reset"):
+        seg_predict.reset()
     key = jax.random.key(0)
     dists: List[float] = []
     result = FullPipelineResult()

@@ -100,9 +100,10 @@ def pose_loss(
 
     # best-confidence hypothesis per sample -> re-centred outputs for refiner
     which_max = jnp.argmax(c, axis=-1)  # (B,)
-    take = lambda arr: jnp.take_along_axis(  # noqa: E731
-        arr, which_max[:, None, *([None] * (arr.ndim - 2))], axis=1
-    )[:, 0]
+
+    def take(arr):
+        idx = which_max.reshape((-1,) + (1,) * (arr.ndim - 1))
+        return jnp.take_along_axis(arr, idx, axis=1)[:, 0]
     best_t = take(t_cand)          # (B, 3)
     best_rot = take(rot)           # (B, 3, 3)
     best_dis = take(dis[..., None])[..., 0]  # (B,)

@@ -36,9 +36,13 @@ def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
     enabling much larger per-chip batches.
     """
     tx = optax.adam(lr)
+    refine_stage = refine_iterations > 0
 
     def init_opt_state(variables):
-        return tx.init(variables["posenet"]["params"])
+        # reference stage semantics: the optimizer targets PoseNet params
+        # in the first stage and PoseRefineNet params in the joint stage
+        target = "refiner" if refine_stage else "posenet"
+        return tx.init(variables[target]["params"])
 
     def _forward(params, batch_stats, batch, dropout_key):
         return pipe.posenet.apply(
@@ -49,38 +53,59 @@ def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
 
     forward = jax.checkpoint(_forward) if remat else _forward
 
-    def _loss(params, batch_stats, refiner_params, batch, dropout_key):
-        (pred_r, pred_t, pred_c, emb), mutated = forward(
+    def _posenet_loss(params, batch_stats, batch, dropout_key):
+        (pred_r, pred_t, pred_c, _), mutated = forward(
             params, batch_stats, batch, dropout_key)
         out = pose_loss(pred_r, pred_t, pred_c, batch["target"],
                         batch["model_points"], batch["idx"], batch["points"],
-                        w=w, refine=refine_iterations > 0, sym_list=sym_list,
+                        w=w, refine=False, sym_list=sym_list,
                         use_pallas=use_pallas)
-        loss = out.loss
-        if refine_iterations > 0:
-            new_points, new_target = out.new_points, out.new_target
-            for _ in range(refine_iterations):
-                dr, dt = pipe.refiner.apply(
-                    {"params": refiner_params}, new_points, emb, batch["idx"])
-                ro = refine_loss(dr, dt, new_target, batch["model_points"],
-                                 batch["idx"], new_points, sym_list=sym_list,
-                                 use_pallas=use_pallas)
-                new_points, new_target = ro.new_points, ro.new_target
-                loss = loss + jnp.mean(ro.dis)
-        return loss, (mutated["batch_stats"], jnp.mean(out.dis))
+        return out.loss, (mutated["batch_stats"], jnp.mean(out.dis))
+
+    def _refiner_loss(refiner_params, pn_variables, batch):
+        # PoseNet frozen in eval mode (reference: estimator.eval() in the
+        # joint stage); grads flow into the refiner only
+        pred_r, pred_t, pred_c, emb = pipe.posenet.apply(
+            pn_variables, batch["img"], batch["points"], batch["choose"],
+            batch["idx"])
+        out = pose_loss(pred_r, pred_t, pred_c, batch["target"],
+                        batch["model_points"], batch["idx"], batch["points"],
+                        w=w, refine=True, sym_list=sym_list,
+                        use_pallas=use_pallas)
+        loss = 0.0
+        new_points, new_target = out.new_points, out.new_target
+        for _ in range(refine_iterations):
+            dr, dt = pipe.refiner.apply(
+                {"params": refiner_params}, new_points,
+                jax.lax.stop_gradient(emb), batch["idx"])
+            ro = refine_loss(dr, dt, new_target, batch["model_points"],
+                             batch["idx"], new_points, sym_list=sym_list,
+                             use_pallas=use_pallas)
+            new_points, new_target = ro.new_points, ro.new_target
+            loss = loss + jnp.mean(ro.dis)
+        return loss, jnp.mean(ro.dis)
 
     def train_step(variables, opt_state, batch, dropout_key):
         pn = variables["posenet"]
-        refiner_params = variables["refiner"]["params"]
-        (loss, (bs, dis)), grads = jax.value_and_grad(
-            _loss, has_aux=True)(pn["params"], pn["batch_stats"],
-                                 refiner_params, batch, dropout_key)
-        updates, opt_state = tx.update(grads, opt_state, pn["params"])
-        new_params = optax.apply_updates(pn["params"], updates)
-        variables = {
-            "posenet": {"params": new_params, "batch_stats": bs},
-            "refiner": variables["refiner"],
-        }
+        if refine_stage:
+            rf_params = variables["refiner"]["params"]
+            (loss, dis), grads = jax.value_and_grad(
+                _refiner_loss, has_aux=True)(rf_params, pn, batch)
+            updates, opt_state = tx.update(grads, opt_state, rf_params)
+            variables = {
+                "posenet": pn,
+                "refiner": {"params": optax.apply_updates(rf_params, updates)},
+            }
+        else:
+            (loss, (bs, dis)), grads = jax.value_and_grad(
+                _posenet_loss, has_aux=True)(pn["params"], pn["batch_stats"],
+                                             batch, dropout_key)
+            updates, opt_state = tx.update(grads, opt_state, pn["params"])
+            variables = {
+                "posenet": {"params": optax.apply_updates(pn["params"], updates),
+                            "batch_stats": bs},
+                "refiner": variables["refiner"],
+            }
         return variables, opt_state, {"loss": loss, "dis": dis}
 
     if mesh is None:

@@ -44,13 +44,20 @@ class CheckpointManager:
         return path
 
     def restore(self, tag: str = "best") -> Optional[Dict[str, Any]]:
-        path = os.path.join(self.directory, tag)
+        # `tag` may also be a full checkpoint path (the reference's
+        # --resume_posenet takes a path); prefer it when it exists
+        path = tag if os.path.isdir(tag) else os.path.join(self.directory, tag)
         if not os.path.exists(path):
             return None
-        return self._ckptr.restore(path)
+        return self._ckptr.restore(os.path.abspath(path))
 
     def restore_into(self, state, tag: str = "best"):
-        """Resume: load variables + curriculum scalars into a TrainState."""
+        """Resume: load variables + curriculum scalars into a TrainState.
+
+        The optimizer state is REBUILT for the restored stage's target
+        parameters (refiner once refine_started, else posenet) — Adam
+        moments are not persisted, matching the reference's behavior of
+        constructing a fresh optimizer at every stage switch/resume."""
         payload = self.restore(tag)
         if payload is None:
             return state
@@ -62,4 +69,9 @@ class CheckpointManager:
         state.refine_started = bool(meta["refine_started"])
         state.best_test = float(meta["best_test"])
         state.epoch = int(meta["epoch"])
+        import optax
+
+        target = "refiner" if state.refine_started else "posenet"
+        state.opt_state = optax.adam(state.lr).init(
+            state.variables[target]["params"])
         return state

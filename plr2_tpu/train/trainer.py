@@ -78,17 +78,20 @@ class Trainer:
 
     @functools.partial(jax.jit, static_argnames=("self", "w", "refine"))
     def posenet_grads(self, variables, img, cloud, choose, target,
-                      model_points, obj, w: float, refine: bool):
+                      model_points, obj, w: float, refine: bool,
+                      dropout_key=None):
         """Per-sample grads for the PoseNet stage; returns (grads,
         new_batch_stats, loss, dis)."""
         pn = variables["posenet"]
+        if dropout_key is None:
+            dropout_key = jax.random.key(0)
 
         def loss_fn(params):
             (pred_r, pred_t, pred_c, _), mutated = self.pipe.posenet.apply(
                 {"params": params, "batch_stats": pn["batch_stats"]},
                 img, cloud, choose, obj, train=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": jax.random.key(0)})
+                rngs={"dropout": dropout_key})
             out = pose_loss(pred_r, pred_t, pred_c, target, model_points,
                             obj, cloud, w=w, refine=refine,
                             sym_list=self.sym_list,
@@ -102,14 +105,14 @@ class Trainer:
     @functools.partial(jax.jit, static_argnames=("self", "w", "iterations"))
     def refine_grads(self, variables, img, cloud, choose, target,
                      model_points, obj, w: float, iterations: int):
-        """Joint-stage grads: PoseNet forward (train-mode BN update), then
+        """Joint-stage grads: frozen PoseNet forward in eval mode (the
+        reference calls estimator.eval() once the refine stage starts), then
         `iterations` refiner steps; loss = summed per-iteration distances,
         grads w.r.t. refiner params only."""
         pn = variables["posenet"]
-        (pred_r, pred_t, pred_c, emb), mutated = self.pipe.posenet.apply(
+        pred_r, pred_t, pred_c, emb = self.pipe.posenet.apply(
             {"params": pn["params"], "batch_stats": pn["batch_stats"]},
-            img, cloud, choose, obj, train=True, mutable=["batch_stats"],
-            rngs={"dropout": jax.random.key(0)})
+            img, cloud, choose, obj)
         first = pose_loss(pred_r, pred_t, pred_c, target, model_points, obj,
                           cloud, w=w, refine=True, sym_list=self.sym_list,
                           use_pallas=self.use_pallas)
@@ -133,7 +136,7 @@ class Trainer:
 
         (total, last_dis), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(variables["refiner"]["params"])
-        return grads, mutated["batch_stats"], total, last_dis
+        return grads, pn["batch_stats"], total, last_dis
 
     @functools.partial(jax.jit, static_argnames=("self", "refine_iterations"))
     def eval_dis(self, variables, img, cloud, choose, target, model_points,
@@ -141,8 +144,11 @@ class Trainer:
         """Test-loop distance (eval-mode BN, best-hypothesis (+refined) pose)."""
         pred_r, pred_t, pred_c, emb = self.pipe.posenet.apply(
             variables["posenet"], img, cloud, choose, obj)
+        # refine flag mirrors the reference test loop's refine_start: before
+        # the refine stage, symmetric objects are scored with ADD-S here
         out = pose_loss(pred_r, pred_t, pred_c, target, model_points, obj,
-                        cloud, w=0.0, refine=True, sym_list=self.sym_list,
+                        cloud, w=0.0, refine=refine_iterations > 0,
+                        sym_list=self.sym_list,
                         use_pallas=self.use_pallas)
         if refine_iterations == 0:
             return out.dis
@@ -178,12 +184,13 @@ class Trainer:
                 args = (state.variables, s.img[None], s.points[None],
                         s.choose[None], s.target[None], s.model_points[None],
                         s.idx[None])
+                key, kd = jax.random.split(key)
                 if state.refine_started:
                     grads, bs, loss, dis = self.refine_grads(
                         *args, w=state.w, iterations=cfg.refine_iterations)
                 else:
                     grads, bs, loss, dis = self.posenet_grads(
-                        *args, w=state.w, refine=False)
+                        *args, w=state.w, refine=False, dropout_key=kd)
                 state.variables["posenet"]["batch_stats"] = bs
                 grads_sum = grads if grads_sum is None else jax.tree_util.tree_map(
                     jnp.add, grads_sum, grads)
@@ -225,8 +232,9 @@ class Trainer:
             state.decay_started = True
             state.lr *= cfg.lr_rate
             state.w *= cfg.w_rate
+            target = "refiner" if state.refine_started else "posenet"
             state.opt_state = self._make_opt(state.lr).init(
-                state.variables["posenet"]["params"])
+                state.variables[target]["params"])
         if state.best_test < cfg.refine_margin and not state.refine_started:
             state.refine_started = True
             state.opt_state = self._make_opt(state.lr).init(

@@ -93,3 +93,26 @@ def test_train_step_with_remat_matches_plain():
     a = jax.tree_util.tree_leaves(va["posenet"]["params"])[0]
     b = jax.tree_util.tree_leaves(vb["posenet"]["params"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_refine_stage_trains_refiner_and_freezes_posenet():
+    """Regression: with refine_iterations > 0 the batched step must update
+    the REFINER (the first version differentiated only posenet params,
+    leaving the refiner at random init forever)."""
+    pipe = DenseFusionPipeline(num_points=32, num_objects=4)
+    variables = pipe.init(jax.random.key(0), crop_hw=48, batch=1)
+    init_fn, step = make_train_step(pipe, sym_list=(1,), w=0.015, lr=1e-3,
+                                    refine_iterations=2)
+    opt = init_fn(variables)
+    batch = _make_batch(4, 32, 16, 48, 4, jax.random.key(9))
+    pose_before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), variables["posenet"])
+    ref_before = jax.tree_util.tree_leaves(variables["refiner"]["params"])[0].copy()
+    v, o, m = step(variables, opt, batch, jax.random.key(1))
+    ref_after = jax.tree_util.tree_leaves(v["refiner"]["params"])[0]
+    assert not np.allclose(np.asarray(ref_before), np.asarray(ref_after))
+    # posenet params AND batch stats untouched (frozen eval-mode forward)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(pose_before)[0],
+            jax.tree_util.tree_flatten_with_path(v["posenet"])[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))

@@ -211,3 +211,13 @@ def test_train_epoch_on_real_layout_linemod(linemod_root):
     assert np.isfinite(info["train_loss"])
     dis = tr.test_epoch(state, test_ds, jax.random.key(2))
     assert np.isfinite(dis)
+
+
+def test_ycb_object_selection_covers_all_objects(ycb_root):
+    """Regression: repeated visits to a frame must eventually train on every
+    labelled object (a fixed per-index seed trained only one forever)."""
+    from plr2_tpu.data import YCBDataset
+
+    ds = YCBDataset(ycb_root, "train", num_points=64, num_mesh_points=64)
+    seen = {int(ds.get_raw(0)["obj_idx"]) for _ in range(16)}
+    assert seen == {0, 1}, seen

@@ -162,3 +162,58 @@ def test_accuracy_threshold_curve():
     # at t=0.05: two of three samples within threshold
     np.testing.assert_allclose(acc[5], 2 / 3)
     assert acc[-1] == pytest.approx(2 / 3)  # 0.2 is out of range
+
+
+def test_resume_after_refine_switch_trains_cleanly(tmp_path, tiny_ds):
+    """Regression: auto-resume once refine_started must rebuild the
+    optimizer state for the refiner target (the first version restored a
+    posenet-shaped Adam state and crashed on the next update)."""
+    cfg = _tiny_config()
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.key(0), crop_hw=80)
+    state.refine_started = True
+    state.epoch = 5
+    state.opt_state = tr._make_opt(state.lr).init(
+        state.variables["refiner"]["params"])
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(state, 0.01, tag="last")
+
+    fresh = tr.init_state(jax.random.key(1), crop_hw=80)
+    fresh = ckpt.restore_into(fresh, tag="last")
+    assert fresh.refine_started
+    # one refine-stage epoch must run without a pytree mismatch
+    fresh, info = tr.train_epoch(fresh, tiny_ds, jax.random.key(2))
+    assert np.isfinite(info["train_loss"])
+
+
+def test_eval_dis_uses_adds_for_sym_before_refine_stage(tiny_ds):
+    """Regression: pre-refine test loop must score symmetric objects with
+    ADD-S (reference passes refine_start=False to the criterion)."""
+    import jax.numpy as jnp
+    from plr2_tpu.losses import pose_loss
+
+    cfg = _tiny_config()
+    tr = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    b, n, m = 1, 8, 12
+    pred_r = jnp.asarray(rng.normal(size=(b, n, 4)).astype(np.float32))
+    pred_t = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32) * 0.1)
+    pred_c = jnp.asarray(rng.uniform(0.2, 0.8, (b, n, 1)).astype(np.float32))
+    mp = jnp.asarray(rng.normal(size=(b, m, 3)).astype(np.float32) * 0.05)
+    target = mp + 0.05
+    points = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    idx = jnp.asarray([1], jnp.int32)  # symmetric in tiny cfg (sym_list=(1,))
+
+    adds = pose_loss(pred_r, pred_t, pred_c, target, mp, idx, points,
+                     w=0.0, refine=False, sym_list=(1,)).dis
+    add = pose_loss(pred_r, pred_t, pred_c, target, mp, idx, points,
+                    w=0.0, refine=True, sym_list=(1,)).dis
+    assert float(adds[0]) < float(add[0])  # chamfer min <= paired distance
+
+    # trainer's pre-refine eval path must match the ADD-S value
+    # (construct the same situation through eval_dis by monkeypatching the
+    # posenet to emit these predictions is heavy; instead assert the flag
+    # plumbing directly via the loss call signature used in eval_dis)
+    import inspect
+    src = inspect.getsource(tr.eval_dis.__wrapped__)
+    assert "refine=refine_iterations > 0" in src

@@ -73,17 +73,28 @@ def main():
                    intrinsics=dict(cx=cx, cy=cy, fx=fx, fy=fy,
                                    cam_scale=cam_scale))
 
+    import dataclasses
+    from plr2_tpu.config import DatasetConfig, ModelConfig
+
     pipe = DenseFusionPipeline(num_points=args.num_points,
                                num_objects=args.num_objects)
-    cfg = get_preset("ycb_refine")
-    trainer = Trainer(cfg, pipe) if args.num_objects == 21 else None
+    cfg = dataclasses.replace(
+        get_preset("ycb_refine"),
+        dataset=DatasetConfig(num_points=args.num_points,
+                              num_objects=args.num_objects),
+        model=ModelConfig(num_points=args.num_points,
+                          num_objects=args.num_objects))
+    trainer = Trainer(cfg, pipe)
     variables = pipe.init(jax.random.key(0), crop_hw=160, batch=1)
     if args.model:
-        state_holder = trainer.init_state(jax.random.key(0)) if trainer else None
-        if state_holder is not None:
-            state_holder.variables = variables
-            state_holder = CheckpointManager(args.model).restore_into(state_holder)
-            variables = state_holder.variables
+        state_holder = trainer.init_state(jax.random.key(0))
+        state_holder.variables = variables
+        before = state_holder.epoch
+        state_holder = CheckpointManager(args.model).restore_into(state_holder)
+        if state_holder.epoch == before:
+            raise SystemExit(f"no checkpoint found under {args.model!r}")
+        variables = state_holder.variables
+        print(f"loaded checkpoint (epoch {state_holder.epoch})")
 
     s = raw_to_sample(raw, jax.random.key(0), args.num_points, add_noise=False)
     est = pipe.estimate(variables, s.img[None], s.points[None], s.choose[None],
