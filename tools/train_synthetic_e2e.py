@@ -26,6 +26,8 @@ def main():
     p.add_argument("--train_frames", type=int, default=24)
     p.add_argument("--test_frames", type=int, default=6)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--decay_margin", type=float, default=0.016)
+    p.add_argument("--refine_margin", type=float, default=0.013)
     p.add_argument("--eval_every", type=int, default=200)
     p.add_argument("--outf", type=str, default="trained_models/synthetic_e2e")
     p.add_argument("--cpu", action="store_true")
@@ -62,7 +64,8 @@ def main():
         dataset=DatasetConfig(num_points=args.num_points,
                               num_objects=num_objects, sym_list=(0, 1, 2, 3)),
         model=ModelConfig(num_points=args.num_points, num_objects=num_objects),
-        train=TrainConfig(lr=args.lr))
+        train=TrainConfig(lr=args.lr, decay_margin=args.decay_margin,
+                          refine_margin=args.refine_margin))
     trainer = Trainer(cfg, pipe)
     state = trainer.init_state(jax.random.key(0), crop_hw=80)
     ckpt = CheckpointManager(args.outf)
