@@ -5,6 +5,14 @@ Baseline: the reference pipeline runs ~33 frames/s on its GPU (DenseFusion
 paper runtime: ~0.02 s estimation + ~0.01 s refine per frame; BASELINE.md).
 vs_baseline = measured frames/s / 33.3.
 
+Default mode is the bf16 fast-inference path (the f32 tree is the
+reference-parity training mode; `--f32` benches it). `--pallas` swaps the
+pose-head MLP ladders and PSP upsample stages to the hand-written Pallas
+kernels — measured on v5e (batch 64): bf16 2154 f/s plain XLA, 2034 with
+the Pallas heads, 1956 with heads+upsample kernels; XLA's fused bf16
+matmul/conv schedules win end-to-end, so the kernels stay opt-in
+(docs/PERF_NOTES.md has the full matrix).
+
 Measurement methodology (important on this environment): the TPU is
 reached through a relay with ~30-60 ms per-dispatch latency, and
 `block_until_ready` does not reflect remote completion. So the benchmark
@@ -34,14 +42,21 @@ REFERENCE_FPS = 33.3  # DenseFusion paper runtime on its GPU (BASELINE.md)
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    inner = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 64
+    inner = int(args[1]) if len(args) > 1 else 10
+    use_bf16 = "--f32" not in sys.argv
+    use_pallas = "--pallas" in sys.argv
     crop, n_points, num_objects = 160, 1000, 21
 
     from plr2_tpu.pipeline import DenseFusionPipeline
 
-    pipe = DenseFusionPipeline(num_points=n_points, num_objects=num_objects)
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    pipe = DenseFusionPipeline(num_points=n_points, num_objects=num_objects,
+                               dtype=dtype, use_pallas=use_pallas)
     variables = pipe.init(jax.random.key(0), crop_hw=crop, batch=1)
+    if use_bf16:
+        variables = pipe.cast_variables(variables)
     ks = jax.random.split(jax.random.key(1), 3)
     img = jax.random.normal(ks[0], (batch, crop, crop, 3), jnp.float32)
     points = jax.random.normal(ks[1], (batch, n_points, 3)) * 0.1
@@ -57,9 +72,10 @@ def main():
             im = img + q_prev[0, 0] * 1e-9
             est = pipe.estimate(variables, im, points, choose, obj,
                                 refine_iterations=2)
-            return est.quat, est.trans
+            return est.quat.astype(dtype), est.trans.astype(dtype)
         q, t = jax.lax.fori_loop(0, inner, body,
-                                 (jnp.zeros((batch, 4)), jnp.zeros((batch, 3))))
+                                 (jnp.zeros((batch, 4), dtype),
+                                  jnp.zeros((batch, 3), dtype)))
         return q[0], t[0]
 
     @jax.jit

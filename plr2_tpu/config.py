@@ -44,7 +44,17 @@ class ModelConfig:
     num_points: int = 500
     num_objects: int = 13
     emb_dim: int = 32  # PSPNet per-pixel color embedding channels
-    use_pallas: bool = True  # Pallas kernels on TPU, XLA fallback on CPU
+    # Loss-side Pallas: routes the ADD-S chamfer through the size-aware
+    # dispatcher (ops/knn.py) — the kernel fires for target clouds >1024
+    # points (e.g. the 2600-point refine-stage YCB meshes), where it
+    # measured faster than the chunked XLA path; XLA keeps smaller sizes.
+    use_pallas: bool = True
+    # Model-side Pallas (fused pose-head MLP + fused PSP upsample
+    # kernels). Off by default: measured END-TO-END on v5e (batch 64,
+    # bf16) the plain-XLA pipeline is faster (2154 f/s) than with the
+    # head kernel (2034) or heads+upsample kernels (1956) — XLA's fused
+    # bf16 matmul/conv schedules win; see docs/PERF_NOTES.md.
+    use_pallas_model: bool = False
     dtype: str = "float32"  # compute dtype for the CNN trunk ("bfloat16" ok)
 
 

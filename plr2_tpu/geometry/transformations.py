@@ -1,8 +1,10 @@
 """Host-side (NumPy) transform helpers with the Gohlke `transformations.py`
 API subset the reference actually uses (upstream lib/transformations.py is
 ~1900 LoC of which the datasets/eval use a handful of functions — SURVEY.md
-section 2 #10). Written from the standard quaternion/Euler definitions, not
-copied.
+section 2 #10). The implementations follow the standard public-domain
+quaternion/Euler numeric recipes (e.g. `quaternion_matrix` uses the usual
+normalized-outer-product formulation that Gohlke's module also uses); the
+module is a from-scratch subset, not a vendored copy of the 1900-line file.
 
 Conventions match Gohlke: quaternions are (w, x, y, z); `quaternion_matrix`
 returns a 4x4 homogeneous matrix.

@@ -4,9 +4,14 @@ fusion with per-point pose regression heads.
 Re-design of the reference's lib/network.py (SURVEY.md section 2 #3-#5).
 All the reference's 1x1 Conv1d stacks become Dense layers over the last
 axis of (B, N, C) tensors — on TPU these are exactly the batched matmuls
-the MXU wants, and XLA fuses the interleaved ReLUs/concats. The hot fusion
-stack also has a hand-written Pallas kernel (plr2_tpu/ops/pallas_fusion.py)
-used via `ops.fused_pointmlp` when enabled.
+the MXU wants, and XLA fuses the interleaved ReLUs/concats. With
+`use_pallas=True` the three pose-head MLP ladders additionally run as one
+hand-written Pallas kernel each (`ops.pallas_fusion.fused_mlp_head`):
+the whole 1408->640->256->128->K ladder stays VMEM-resident per row
+block, so the (B*N, 1408) fused feature is read from HBM once per head
+with no intermediate-activation round-trips. Parameter trees are
+IDENTICAL between the two paths (same names, shapes, initializers), so
+checkpoints are interchangeable.
 
 Shape contract (matches the reference forward, transposed to channel-last):
   PoseNet(img_emb HxWx32 gathered at `choose`, cloud (B,N,3), obj (B,))
@@ -71,6 +76,23 @@ class PoseNetFeat(nn.Module):
         return jnp.concatenate([feat_1, feat_2, glob], axis=-1)  # (B, N, 1408)
 
 
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense's exact tree (kernel/bias, same
+    initializers) but no compute — the Pallas head path consumes the raw
+    weights, and checkpoints stay interchangeable with the XLA path."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
 class PoseNet(nn.Module):
     """Full estimator: color CNN + dense fusion + per-point pose heads."""
 
@@ -78,6 +100,7 @@ class PoseNet(nn.Module):
     num_objects: int
     emb_dim: int = 32
     dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused Pallas head kernels (interpret off-TPU)
 
     @nn.compact
     def __call__(self, img, cloud, choose, obj, *, train: bool = False):
@@ -86,15 +109,37 @@ class PoseNet(nn.Module):
         # gather-before-final-conv: exact commute (1x1 conv + per-pixel
         # log_softmax), skips the full-res 32ch map + softmax
         emb = PSPNet(emb_dim=self.emb_dim, dtype=self.dtype,
+                     use_pallas=self.use_pallas,
                      name="cnn")(img, train=train, choose=choose)  # (B, N, 32)
         feat = PoseNetFeat(dtype=self.dtype, name="feat")(cloud, emb)
 
+        def head_pallas(out_dim: int, tag: str) -> jnp.ndarray:
+            from plr2_tpu.ops.pallas_fusion import fused_mlp_head
+
+            params = []
+            c_in = feat.shape[-1]
+            for f, i in ((640, 1), (256, 2), (128, 3),
+                         (self.num_objects * out_dim, 4)):
+                k, bias = _DenseParams(features=f, in_features=c_in,
+                                       name=f"conv{i}_{tag}")()
+                params.append((k.astype(self.dtype), bias.astype(self.dtype)))
+                c_in = f
+            b, n = feat.shape[0], feat.shape[1]
+            x2d = feat.reshape(b * n, feat.shape[-1])
+            interpret = jax.default_backend() != "tpu"
+            return fused_mlp_head(x2d, tuple(params), interpret).reshape(
+                b, n, self.num_objects * out_dim)
+
         def head(out_dim: int, tag: str) -> jnp.ndarray:
-            h = feat
-            for f, i in ((640, 1), (256, 2), (128, 3)):
-                h = nn.relu(nn.Dense(f, dtype=self.dtype, name=f"conv{i}_{tag}")(h))
-            h = nn.Dense(self.num_objects * out_dim, dtype=self.dtype,
-                         name=f"conv4_{tag}")(h)
+            if self.use_pallas:
+                h = head_pallas(out_dim, tag)
+            else:
+                h = feat
+                for f, i in ((640, 1), (256, 2), (128, 3)):
+                    h = nn.relu(nn.Dense(f, dtype=self.dtype,
+                                         name=f"conv{i}_{tag}")(h))
+                h = nn.Dense(self.num_objects * out_dim, dtype=self.dtype,
+                             name=f"conv4_{tag}")(h)
             # (B, N, num_obj, out_dim) -> select the query object's rows
             b, n = h.shape[0], h.shape[1]
             h = h.reshape(b, n, self.num_objects, out_dim)

@@ -59,6 +59,32 @@ def bilinear_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jax.image.resize(x, (b, h, w, c), method="linear")
 
 
+@functools.lru_cache(maxsize=64)
+def _bilinear_upscale_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) half-pixel linear-interp operator (upscale only):
+    row i holds the two clamped-taps weights for output coordinate
+    (i + 0.5) * n_in / n_out - 0.5. Matches jax.image.resize 'linear'."""
+    a = np.zeros((n_out, n_in), dtype=np.float32)
+    for i in range(n_out):
+        c = (i + 0.5) * n_in / n_out - 0.5
+        m = int(np.floor(c))
+        f = c - m
+        a[i, min(max(m, 0), n_in - 1)] += 1.0 - f
+        a[i, min(max(m + 1, 0), n_in - 1)] += f
+    return a
+
+
+def bilinear_upscale_mm(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """NHWC bilinear upscale as two small matmuls (no gathers; the PSP
+    priors blow tiny 1/2/3/6-px maps up to the feature resolution, which
+    as `jax.image.resize` is gather-bound on TPU)."""
+    _, h_in, w_in, _ = x.shape
+    rh = jnp.asarray(_bilinear_upscale_matrix(h_in, h), x.dtype)
+    rw = jnp.asarray(_bilinear_upscale_matrix(w_in, w), x.dtype)
+    y = jnp.einsum("ih,bhwc->biwc", rh, x)
+    return jnp.einsum("jw,biwc->bijc", rw, y)
+
+
 class PSPModule(nn.Module):
     """Pyramid scene pooling: per-bin pooled 1x1 conv branches + identity,
     concatenated and bottlenecked to `out_features` with ReLU."""
@@ -83,19 +109,54 @@ class PSPModule(nn.Module):
         return nn.relu(y)
 
 
+class _ConvParams(nn.Module):
+    """Parameter container with nn.Conv's exact tree (kernel/bias, same
+    initializers) but no compute, for the fused Pallas stage — checkpoints
+    stay interchangeable with the XLA path."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
 class PSPUpsample(nn.Module):
-    """2x bilinear upsample -> 3x3 conv -> PReLU."""
+    """2x bilinear upsample -> 3x3 conv -> PReLU.
+
+    With `use_pallas=True` the whole stage runs as one Pallas kernel
+    (ops/pallas_upsample.py): the 2x-upsampled map stays in VMEM instead
+    of round-tripping HBM between resize and conv. Both paths share the
+    gather-free half-pixel upsample math and are numerically equivalent.
+    """
 
     out_channels: int
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from plr2_tpu.ops.pallas_upsample import (
+            fused_upconv3x3_prelu, upsample2x_bilinear)
+
+        prelu_alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), ())
+        if self.use_pallas:
+            kernel, bias = _ConvParams(features=self.out_channels,
+                                       in_features=x.shape[-1],
+                                       name="conv")()
+            interpret = jax.default_backend() != "tpu"
+            return fused_upconv3x3_prelu(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                bias, prelu_alpha, interpret)
         _, h, w, _ = x.shape
         x = bilinear_resize(x, 2 * h, 2 * w)
         x = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name="conv")(x)
-        prelu_alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), ())
         return jnp.where(x >= 0, x, prelu_alpha * x)
 
 
@@ -114,6 +175,7 @@ class PSPNet(nn.Module):
     psp_out: int = 1024
     log_softmax_final: bool = True
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, choose=None):
@@ -121,11 +183,14 @@ class PSPNet(nn.Module):
         p = PSPModule(out_features=self.psp_out, sizes=self.sizes,
                       dtype=self.dtype, name="psp")(f)
         p = nn.Dropout(0.3, deterministic=not train, name="drop_1")(p)
-        p = PSPUpsample(256, dtype=self.dtype, name="up_1")(p)
+        p = PSPUpsample(256, dtype=self.dtype, use_pallas=self.use_pallas,
+                        name="up_1")(p)
         p = nn.Dropout(0.15, deterministic=not train, name="drop_2a")(p)
-        p = PSPUpsample(64, dtype=self.dtype, name="up_2")(p)
+        p = PSPUpsample(64, dtype=self.dtype, use_pallas=self.use_pallas,
+                        name="up_2")(p)
         p = nn.Dropout(0.15, deterministic=not train, name="drop_2b")(p)
-        p = PSPUpsample(64, dtype=self.dtype, name="up_3")(p)
+        p = PSPUpsample(64, dtype=self.dtype, use_pallas=self.use_pallas,
+                        name="up_3")(p)
         if choose is not None:
             b, h, w, c = p.shape
             p = jnp.take_along_axis(p.reshape(b, h * w, c),

@@ -27,14 +27,17 @@ _BLOCK_ROWS = 256
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                 w4_ref, b4_ref, out_ref):
+    # accumulate in f32 on the MXU; keep inter-layer activations in the
+    # input dtype so the bf16 fast-inference mode stays on the bf16 MXU path
+    dt = x_ref.dtype
     h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b1_ref[:], 0.0)
+    h = jnp.maximum(h + b1_ref[:], 0.0).astype(dt)
     h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b2_ref[:], 0.0)
+    h = jnp.maximum(h + b2_ref[:], 0.0).astype(dt)
     h = jnp.dot(h, w3_ref[:], preferred_element_type=jnp.float32)
-    h = jnp.maximum(h + b3_ref[:], 0.0)
+    h = jnp.maximum(h + b3_ref[:], 0.0).astype(dt)
     h = jnp.dot(h, w4_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = h + b4_ref[:]
+    out_ref[:] = (h + b4_ref[:]).astype(out_ref.dtype)
 
 
 def _forward(x, params, interpret: bool):
@@ -51,7 +54,7 @@ def _forward(x, params, interpret: bool):
     b1r, b2r, b3r, b4r = (b.reshape(1, -1) for b in (b1, b2, b3, b4))
     out = pl.pallas_call(
         _mlp_kernel,
-        out_shape=jax.ShapeDtypeStruct((pp, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pp, k), x.dtype),
         grid=(pp // _BLOCK_ROWS,),
         in_specs=[
             pl.BlockSpec((_BLOCK_ROWS, x.shape[1]), lambda i: (i, 0),

@@ -56,10 +56,13 @@ class Trainer:
         self.cfg = config
         self.pipe = pipe or DenseFusionPipeline(
             num_points=config.model.num_points,
-            num_objects=config.model.num_objects)
+            num_objects=config.model.num_objects,
+            use_pallas=config.model.use_pallas_model)
         self.sym_list = tuple(config.dataset.sym_list)
-        # Pallas ADD-S kernel on TPU (225x the chunked XLA fallback on the
-        # sym-object chamfer at production shapes); interpret-mode on CPU
+        # Routed to ops.chamfer_min_distance, whose dispatcher picks the
+        # Pallas ADD-S kernel only where it measures faster than the
+        # chunked XLA path (target clouds >1024 points; at the production
+        # mesh size of 500 XLA wins — see ops/knn.py docstring numbers).
         self.use_pallas = bool(config.model.use_pallas)
 
     # ---------- state ----------

@@ -155,3 +155,28 @@ def test_posenet_param_count_ladder(posenet_setup):
     assert p["conv4_r"]["kernel"].shape == (128, 13 * 4)
     assert p["conv4_t"]["kernel"].shape == (128, 13 * 3)
     assert p["conv4_c"]["kernel"].shape == (128, 13 * 1)
+
+
+def test_posenet_pallas_path_matches_xla_path(rng):
+    """use_pallas=True (fused head + fused upsample kernels, interpret on
+    CPU) must produce the identical parameter tree and matching outputs."""
+    from plr2_tpu.models.posenet import PoseNet
+
+    n, num_obj = 24, 4
+    m_xla = PoseNet(num_points=n, num_objects=num_obj, use_pallas=False)
+    m_pls = PoseNet(num_points=n, num_objects=num_obj, use_pallas=True)
+    img = jnp.asarray(rng.normal(size=(2, 48, 48, 3)).astype(np.float32))
+    cloud = jnp.asarray(rng.normal(size=(2, n, 3)).astype(np.float32)) * 0.1
+    choose = jnp.asarray(rng.integers(0, 48 * 48, size=(2, n)), jnp.int32)
+    obj = jnp.asarray([1, 3], jnp.int32)
+    v_xla = m_xla.init(jax.random.key(0), img, cloud, choose, obj)
+    v_pls = m_pls.init(jax.random.key(0), img, cloud, choose, obj)
+    assert (jax.tree_util.tree_structure(v_xla)
+            == jax.tree_util.tree_structure(v_pls))
+    assert (jax.tree_util.tree_map(lambda a: a.shape, v_xla)
+            == jax.tree_util.tree_map(lambda a: a.shape, v_pls))
+    out_x = m_xla.apply(v_xla, img, cloud, choose, obj)
+    out_p = m_pls.apply(v_xla, img, cloud, choose, obj)  # shared params
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

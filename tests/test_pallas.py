@@ -106,3 +106,80 @@ def test_head_params_from_tree():
     params = head_params_from_tree(var["params"], "r")
     assert params[0][0].shape == (1408, 640)
     assert params[3][0].shape == (128, 3 * 4)
+
+
+# ---------- fused upsample + conv3x3 + PReLU (ops/pallas_upsample.py) ----
+
+
+def _upconv_case(rng, b, h, w, cin, cout):
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+    wk = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32)) * 0.1
+    bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32)) * 0.1
+    return x, wk, bias, jnp.float32(0.25)
+
+
+def test_upsample2x_bilinear_matches_resize(rng):
+    from plr2_tpu.ops.pallas_upsample import upsample2x_bilinear
+
+    for shape in [(2, 5, 7, 3), (1, 4, 4, 8), (2, 1, 1, 4)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        got = upsample2x_bilinear(x)
+        want = jax.image.resize(
+            x, (shape[0], 2 * shape[1], 2 * shape[2], shape[3]),
+            method="linear")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+
+def test_bilinear_upscale_mm_matches_resize(rng):
+    from plr2_tpu.models.pspnet import bilinear_upscale_mm
+
+    for s in (1, 2, 3, 6):
+        x = jnp.asarray(rng.normal(size=(2, s, s, 16)).astype(np.float32))
+        got = bilinear_upscale_mm(x, 20, 20)
+        want = jax.image.resize(x, (2, 20, 20, 16), method="linear")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_fused_upconv_matches_xla(rng):
+    from plr2_tpu.ops import pallas_upsample as pu
+
+    x, wk, bias, alpha = _upconv_case(rng, 2, 5, 6, 16, 32)
+    got = pu.fused_upconv3x3_prelu(x, wk, bias, alpha, True)
+    want = pu.upconv3x3_prelu_xla(x, wk, bias, alpha)
+    assert got.shape == (2, 10, 12, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_upconv_blocked_grid_matches_xla(rng, monkeypatch):
+    """Exercise cout/row/cin grid blocking (the paths the TPU shapes hit)."""
+    from plr2_tpu.ops import pallas_upsample as pu
+
+    cases = [((2, 4, 4, 8, 128), (64, 2, 8)),   # 2 cout blocks, 2 row blocks
+             ((1, 8, 7, 16, 64), (64, 4, 8)),   # 4 row blocks, 2 cin blocks
+             ((2, 6, 6, 32, 64), (32, 2, 8))]   # all three axes blocked
+    for shape, blocks in cases:
+        monkeypatch.setattr(pu, "_pick_blocks", lambda *a: blocks)
+        x, wk, bias, alpha = _upconv_case(rng, *shape)
+        got = pu.fused_upconv3x3_prelu(x, wk, bias, alpha, True)
+        want = pu.upconv3x3_prelu_xla(x, wk, bias, alpha)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_upconv_gradients_match_xla(rng):
+    from plr2_tpu.ops import pallas_upsample as pu
+
+    x, wk, bias, alpha = _upconv_case(rng, 1, 4, 5, 8, 16)
+
+    gf = jax.grad(lambda *a: jnp.sum(
+        pu.fused_upconv3x3_prelu(*a, True) ** 2), argnums=(0, 1, 2, 3))(
+        x, wk, bias, alpha)
+    gx = jax.grad(lambda *a: jnp.sum(
+        pu.upconv3x3_prelu_xla(*a) ** 2), argnums=(0, 1, 2, 3))(
+        x, wk, bias, alpha)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
