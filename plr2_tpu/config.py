@@ -25,6 +25,9 @@ class DatasetConfig:
     num_points: int = 500  # sampled cloud points per object
     num_objects: int = 13
     num_mesh_points: int = 500  # model points used by the ADD loss
+    # refine-stage mesh resolution (upstream num_pt_mesh_large: YCB scores
+    # the joint stage against 2600 model points; LineMOD keeps 500)
+    num_mesh_points_large: int = 500
     # symmetric object indices (LineMOD: eggbox=7, glue=8 in the 13-class
     # list; YCB: 12, 15, 18, 19, 20 — see _YCB_SYM below)
     sym_list: Tuple[int, ...] = (7, 8)
@@ -101,7 +104,7 @@ _LINEMOD = DatasetConfig(
 )
 _YCB = DatasetConfig(
     name="ycb", num_points=1000, num_objects=21, num_mesh_points=500,
-    sym_list=_YCB_SYM, crop_size=160,
+    num_mesh_points_large=2600, sym_list=_YCB_SYM, crop_size=160,
 )
 
 

@@ -31,16 +31,44 @@ def load_points_xyz(path: str) -> np.ndarray:
 
 
 class YCBDataset:
-    """Index over (frame, object-in-frame) pairs from the data lists."""
+    """Index over (frame, object-in-frame) pairs from the data lists.
+
+    Reference-contract behaviors beyond the basic loader (all from the
+    upstream datasets/ycb/dataset.py __getitem__ [upstream, mount empty]):
+
+    * Mesh-resolution switch: the joint refine stage scores ADD(-S)
+      against `num_mesh_points_large` (2600) model points instead of the
+      PoseNet-stage `num_mesh_points` (500). `set_refine(True)` switches
+      (the upstream recreates its DataLoader with refine=True; the
+      Trainer calls this when the refine margin fires).
+    * Occluder augmentation (`add_front`): on noisy train samples, the
+      foreground objects of a random synthetic frame are composited IN
+      FRONT of the image and their pixels removed from the object mask —
+      up to `front_attempts` tries, accepted only when the object keeps
+      > `front_keep_px` visible pixels.
+    * Minimum-visible resample: samples whose valid mask has <=
+      `minimum_num_pt` pixels are replaced by a fresh random index
+      (the upstream re-draws instead of returning degenerate zeros).
+    """
 
     def __init__(self, root: str, mode: str = "train", num_points: int = 1000,
                  num_mesh_points: int = 500, add_noise: bool = True,
-                 noise_trans: float = 0.03, seed: int = 0):
+                 noise_trans: float = 0.03, seed: int = 0,
+                 num_mesh_points_large: int = 2600, refine: bool = False,
+                 add_front: bool = True, front_num: int = 2,
+                 front_attempts: int = 5, front_keep_px: int = 1000,
+                 minimum_num_pt: int = 50):
         self.root = root
         self.mode = mode
         self.num_points = num_points
         self.add_noise = add_noise and mode == "train"
         self.noise_trans = noise_trans
+        self.refine = refine
+        self.add_front = add_front and self.add_noise
+        self.front_num = front_num
+        self.front_attempts = front_attempts
+        self.front_keep_px = front_keep_px
+        self.minimum_num_pt = minimum_num_pt
         rng = np.random.default_rng(seed)
 
         self._rng = np.random.default_rng(seed + 0x5EED)
@@ -50,21 +78,25 @@ class YCBDataset:
         with open(list_file) as f:
             self.frames = [l.strip() for l in f if l.strip()]
         self.real_frames = [p for p in self.frames if not p.startswith("data_syn")]
+        self.syn_frames = [p for p in self.frames if p.startswith("data_syn")]
 
         classes_file = os.path.join(root, "dataset_config", "classes.txt")
         with open(classes_file) as f:
             self.classes = [l.strip() for l in f if l.strip()]
 
+        # two fixed subsamples per class: the PoseNet-stage mesh and the
+        # refine-stage high-resolution mesh (upstream num_pt_mesh_small /
+        # num_pt_mesh_large)
         self.model_points: Dict[int, np.ndarray] = {}
+        self.model_points_large: Dict[int, np.ndarray] = {}
         for ci, cname in enumerate(self.classes):
             xyz = os.path.join(root, "models", cname, "points.xyz")
             if os.path.exists(xyz):
                 pts = load_points_xyz(xyz)
-                if len(pts) > num_mesh_points:
-                    keep = rng.choice(len(pts), num_mesh_points, replace=False)
-                    keep.sort()
-                    pts = pts[keep]
-                self.model_points[ci] = pts
+                self.model_points[ci] = self._subsample(pts, num_mesh_points,
+                                                        rng)
+                self.model_points_large[ci] = self._subsample(
+                    pts, num_mesh_points_large, rng)
 
         # flat index over (frame, object) — each object in a frame is a sample
         self.items: List[Dict] = []
@@ -73,6 +105,23 @@ class YCBDataset:
 
         if not self.items:
             raise FileNotFoundError(f"no YCB data lists under {root!r}")
+
+    @staticmethod
+    def _subsample(pts: np.ndarray, n: int, rng) -> np.ndarray:
+        if len(pts) <= n:
+            return pts
+        keep = rng.choice(len(pts), n, replace=False)
+        keep.sort()
+        return pts[keep]
+
+    def set_refine(self, refine: bool) -> None:
+        """Switch to the refine-stage mesh resolution (2600 points)."""
+        self.refine = refine
+
+    def get_num_points_mesh(self) -> int:
+        """Upstream get_num_points_mesh(): large mesh once refine starts."""
+        which = self.model_points_large if self.refine else self.model_points
+        return len(next(iter(which.values())))
 
     def __len__(self) -> int:
         return len(self.items)
@@ -119,8 +168,44 @@ class YCBDataset:
         return dict(color=color, depth=depth, label=label, objects=objects,
                     intrinsics=intr)
 
+    def _front_occluder(self, color: np.ndarray, mask: np.ndarray):
+        """Composite `front_num` objects of a random synthetic frame in
+        front of the sample; returns (color, mask) or None if no attempt
+        kept enough of the object visible (upstream add_front loop)."""
+        from PIL import Image
+
+        for _ in range(self.front_attempts):
+            fp = self.syn_frames[int(self._rng.integers(len(self.syn_frames)))]
+            base = os.path.join(self.root, fp)
+            f_label = np.asarray(Image.open(base + "-label.png"), np.int32)
+            present = np.unique(f_label)
+            present = present[present > 0]
+            if len(present) < self.front_num:
+                continue
+            chosen = self._rng.choice(present, self.front_num, replace=False)
+            front_mask = np.isin(f_label, chosen)
+            kept = mask & ~front_mask
+            if int(kept.sum()) <= self.front_keep_px:
+                continue
+            f_color = np.asarray(
+                Image.open(base + "-color.png").convert("RGB"))
+            color = np.where(front_mask[..., None], f_color, color)
+            return color, kept
+        return None
+
     def get_raw(self, i: int, obj_idx: Optional[int] = None) -> Dict:
         """One (frame, object) sample in the common raw-dict format."""
+        for _attempt in range(20):
+            raw = self._get_raw_once(i, obj_idx)
+            if int(raw["mask"].sum()) > self.minimum_num_pt:
+                return raw
+            # too few visible pixels -> re-draw a fresh index (upstream
+            # returns __getitem__ of a random other sample)
+            i = int(self._rng.integers(len(self.items)))
+            obj_idx = None
+        return raw  # pathological dataset; let preprocessing zero-pad
+
+    def _get_raw_once(self, i: int, obj_idx: Optional[int] = None) -> Dict:
         fr = self.get_frame(i)
         objs = sorted(fr["objects"])
         if obj_idx is None:
@@ -129,11 +214,18 @@ class YCBDataset:
             # __getitem__; a fixed per-index seed would train ~1/K of them)
             obj_idx = objs[int(self._rng.integers(len(objs)))]
         pose = fr["objects"][obj_idx]
+        color = fr["color"]
         mask = (fr["label"] == obj_idx + 1) & (fr["depth"] > 0)
+        if self.add_front and self.syn_frames:
+            out = self._front_occluder(color, mask)
+            if out is not None:
+                color, mask = out
+        points = (self.model_points_large if self.refine
+                  else self.model_points)[obj_idx]
         return dict(
-            color=fr["color"], depth=fr["depth"], mask=mask,
+            color=color, depth=fr["depth"], mask=mask,
             target_r=pose["target_r"], target_t=pose["target_t"],
-            model_points=self.model_points[obj_idx],
+            model_points=points,
             obj_idx=obj_idx,
             intrinsics=fr["intrinsics"],
         )

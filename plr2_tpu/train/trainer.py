@@ -244,6 +244,15 @@ class Trainer:
                 state.variables["refiner"]["params"])
         return state
 
+    @staticmethod
+    def _sync_refine_meshes(state: TrainState, *datasets) -> None:
+        """Once the refine stage starts, datasets that support the
+        upstream mesh-resolution switch (YCB: 500 -> 2600 model points,
+        set_refine/get_num_points_mesh) score against the large mesh."""
+        for ds in datasets:
+            if hasattr(ds, "set_refine"):
+                ds.set_refine(state.refine_started)
+
     def fit(self, state: TrainState, train_ds, test_ds, key,
             epochs: Optional[int] = None, log_fn=print,
             checkpoint_fn=None, save_last_fn=None) -> TrainState:
@@ -252,6 +261,7 @@ class Trainer:
         fires every epoch for crash-resume (tag 'last' — restart recovery
         beyond the reference's manual --resume_* flags)."""
         epochs = epochs or self.cfg.train.nepoch
+        self._sync_refine_meshes(state, train_ds, test_ds)  # resume case
         for _ in range(epochs):
             state.epoch += 1
             key, k1, k2 = jax.random.split(key, 3)
@@ -259,6 +269,7 @@ class Trainer:
             test_dis = self.test_epoch(state, test_ds, k2)
             improved = test_dis < state.best_test
             state = self.update_curriculum(state, test_dis)
+            self._sync_refine_meshes(state, train_ds, test_ds)
             log_fn(f"epoch {state.epoch}: loss={info['train_loss']:.5f} "
                    f"train_dis={info['train_dis']:.5f} test_dis={test_dis:.5f} "
                    f"best={state.best_test:.5f} lr={state.lr:g} w={state.w:g} "

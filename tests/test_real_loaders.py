@@ -221,3 +221,94 @@ def test_ycb_object_selection_covers_all_objects(ycb_root):
     ds = YCBDataset(ycb_root, "train", num_points=64, num_mesh_points=64)
     seen = {int(ds.get_raw(0)["obj_idx"]) for _ in range(16)}
     assert seen == {0, 1}, seen
+
+
+def test_ycb_refine_stage_mesh_switch(ycb_root):
+    """Upstream num_pt_mesh_small/large contract: 300-pt meshes during the
+    PoseNet stage, the high-resolution mesh once set_refine(True)."""
+    from plr2_tpu.data import YCBDataset
+
+    ds = YCBDataset(ycb_root, "train", num_points=64, num_mesh_points=300,
+                    num_mesh_points_large=1500, add_front=False)
+    assert ds.get_num_points_mesh() == 300
+    assert ds.get_raw(0, obj_idx=0)["model_points"].shape == (300, 3)
+    ds.set_refine(True)
+    assert ds.get_num_points_mesh() == 1500
+    assert ds.get_raw(0, obj_idx=0)["model_points"].shape == (1500, 3)
+    # the two resolutions subsample the same cloud
+    small = ds.model_points[0]
+    large = ds.model_points_large[0]
+    assert {tuple(p) for p in small[:50]} <= {tuple(p) for p in large} or \
+        len(large) > len(small)  # (disjoint draws allowed; size is the contract)
+
+
+def test_trainer_syncs_refine_mesh_on_datasets(ycb_root):
+    from plr2_tpu.config import get_preset
+    from plr2_tpu.data import YCBDataset
+    from plr2_tpu.train.trainer import Trainer, TrainState
+
+    ds = YCBDataset(ycb_root, "train", num_points=64, num_mesh_points=64,
+                    num_mesh_points_large=256, add_front=False)
+    state = TrainState(variables={}, opt_state=None, lr=1e-4, w=0.015,
+                       refine_started=True)
+    Trainer._sync_refine_meshes(state, ds)
+    assert ds.refine and ds.get_num_points_mesh() == 256
+    state.refine_started = False
+    Trainer._sync_refine_meshes(state, ds)
+    assert not ds.refine and ds.get_num_points_mesh() == 64
+
+
+def test_ycb_add_front_occluder(ycb_root):
+    """Occluder compositing: the chosen synthetic frame's objects are
+    pasted in front and their pixels leave the object mask."""
+    from plr2_tpu.data import YCBDataset
+    from PIL import Image
+
+    ds = YCBDataset(ycb_root, "train", num_points=64, num_mesh_points=64,
+                    add_front=True, front_num=1, front_keep_px=10,
+                    minimum_num_pt=0, seed=2)
+    base = ds._get_raw_once(0, obj_idx=0)
+    ds_plain = YCBDataset(ycb_root, "train", num_points=64,
+                          num_mesh_points=64, add_front=False, seed=2)
+    plain = ds_plain._get_raw_once(0, obj_idx=0)
+    # front compositing may legitimately fail all attempts only if the
+    # occluder never overlaps; with one syn frame covering the scene it
+    # must fire for some seed — assert the contract when it does
+    fired = base["mask"].sum() < plain["mask"].sum()
+    if fired:
+        # occluded pixels: removed from mask, color replaced by the front
+        # frame's color
+        occluded = plain["mask"] & ~base["mask"]
+        assert occluded.sum() > 0
+        syn = np.asarray(Image.open(
+            os.path.join(ycb_root, ds.syn_frames[0] + "-color.png")).convert("RGB"))
+        ys, xs = np.nonzero(occluded)
+        assert (base["color"][ys, xs] == syn[ys, xs]).all()
+    else:
+        # never-overlapping fixture: mask must be untouched
+        assert (base["mask"] == plain["mask"]).all()
+
+
+def test_ycb_minimum_visible_resample(ycb_root, monkeypatch):
+    """A sample whose mask has <= minimum_num_pt pixels is replaced by a
+    fresh random draw (upstream re-__getitem__ behavior)."""
+    from plr2_tpu.data import YCBDataset
+
+    ds = YCBDataset(ycb_root, "train", num_points=64, num_mesh_points=64,
+                    add_front=False, minimum_num_pt=50)
+    real_once = ds._get_raw_once
+    calls = {"n": 0}
+
+    def fake_once(i, obj_idx=None):
+        calls["n"] += 1
+        raw = real_once(i, obj_idx)
+        if calls["n"] == 1:  # first draw: degenerate 1-pixel mask
+            tiny = np.zeros_like(raw["mask"])
+            tiny[0, 0] = True
+            raw = dict(raw, mask=tiny)
+        return raw
+
+    monkeypatch.setattr(ds, "_get_raw_once", fake_once)
+    raw = ds.get_raw(0, obj_idx=0)
+    assert calls["n"] >= 2  # the degenerate draw was rejected
+    assert raw["mask"].sum() > 50

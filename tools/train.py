@@ -100,9 +100,11 @@ def main():
     else:
         train_ds = YCBDataset(args.dataset_root, "train", cfg.model.num_points,
                               cfg.dataset.num_mesh_points,
-                              noise_trans=args.noise_trans)
+                              noise_trans=args.noise_trans,
+                              num_mesh_points_large=cfg.dataset.num_mesh_points_large)
         test_ds = YCBDataset(args.dataset_root, "test", cfg.model.num_points,
-                             cfg.dataset.num_mesh_points, add_noise=False)
+                             cfg.dataset.num_mesh_points, add_noise=False,
+                             num_mesh_points_large=cfg.dataset.num_mesh_points_large)
 
     logger = setup_logger(
         "train", os.path.join(args.log_dir, f"train_{args.dataset}.log"))
