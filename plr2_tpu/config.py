@@ -76,6 +76,11 @@ class TrainConfig:
     nepoch: int = 500
     repeat_epoch: int = 1
     seed: int = 0
+    # host data-plane worker threads (the reference's DataLoader
+    # --workers): 0 = inline device preprocessing; >0 = threaded C++
+    # data plane (decode + mask->bbox->choose->backproject off the main
+    # thread) with augmentation applied on device after upload
+    workers: int = 0
     checkpoint_dir: str = "trained_models"
     log_dir: str = "experiments/logs"
     resume_posenet: str = ""

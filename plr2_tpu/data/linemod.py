@@ -68,11 +68,20 @@ class LinemodDataset:
     def __init__(self, root: str, mode: str = "train", num_points: int = 500,
                  num_mesh_points: int = 500, add_noise: bool = True,
                  noise_trans: float = 0.03, seed: int = 0,
-                 objlist: Optional[List[int]] = None):
+                 objlist: Optional[List[int]] = None,
+                 segnet_results: Optional[str] = None):
+        """`segnet_results`: directory of predicted masks in the upstream
+        eval layout `{segnet_results}/{obj:02d}_label/{frame:04d}_label.png`
+        (pixel==255 -> object). When set, get_raw uses these instead of the
+        GT masks — the reference's mode=='eval' path (upstream
+        datasets/linemod/dataset.py + tools/eval_linemod.py [mount empty]).
+        An empty predicted mask marks the sample `lost=True` ("Lost
+        detection" in the upstream eval log): the evaluator skips it."""
         import yaml
 
         self.root = root
         self.mode = mode
+        self.segnet_results = segnet_results
         self.num_points = num_points
         self.add_noise = add_noise and mode == "train"
         self.noise_trans = noise_trans
@@ -128,20 +137,31 @@ class LinemodDataset:
         depth = np.asarray(
             Image.open(os.path.join(obj_dir, "depth", f"{fr:04d}.png")),
             dtype=np.float32)
-        mask_img = np.asarray(
-            Image.open(os.path.join(obj_dir, "mask", f"{fr:04d}.png")))
-        if mask_img.ndim == 3:
-            mask = mask_img[..., 0] > 128
+        if self.segnet_results is not None:
+            label = np.asarray(Image.open(os.path.join(
+                self.segnet_results, f"{obj:02d}_label",
+                f"{fr:04d}_label.png")))
+            if label.ndim == 3:
+                label = label[..., 0]
+            mask = label == 255
         else:
-            mask = mask_img > 128
+            mask_img = np.asarray(
+                Image.open(os.path.join(obj_dir, "mask", f"{fr:04d}.png")))
+            if mask_img.ndim == 3:
+                mask = mask_img[..., 0] > 128
+            else:
+                mask = mask_img > 128
 
         gt_list = self.meta[obj][fr]
         gt = next(g for g in gt_list if g.get("obj_id", obj) == obj)
         r = np.asarray(gt["cam_R_m2c"], dtype=np.float32).reshape(3, 3)
         t = np.asarray(gt["cam_t_m2c"], dtype=np.float32) / 1000.0
 
+        valid = mask & (depth > 0)
         return dict(
-            color=color, depth=depth, mask=mask & (depth > 0),
+            color=color, depth=depth, mask=valid,
+            bbox_mask=mask,  # upstream bboxes come from the label alone
+            lost=not valid.any(),
             target_r=r, target_t=t,
             model_points=self.model_points[obj],
             obj_idx=self.objlist.index(obj),

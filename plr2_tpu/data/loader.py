@@ -28,7 +28,10 @@ def raw_to_sample(raw: Dict, key: jax.Array, num_points: int,
     border list (SURVEY.md 'hard parts' (b))."""
     ih = img_h or raw["depth"].shape[0]
     iw = img_w or raw["depth"].shape[1]
-    rmin, rmax, cmin, cmax = get_bbox_from_mask(raw["mask"], ih, iw)
+    # Upstream crops around the label mask alone (before depth-validity
+    # intersection); loaders that distinguish the two pass `bbox_mask`.
+    rmin, rmax, cmin, cmax = get_bbox_from_mask(
+        raw.get("bbox_mask", raw["mask"]), ih, iw)
     intr = raw["intrinsics"]
     intr_vec = jnp.asarray([intr["cx"], intr["cy"], intr["fx"], intr["fy"],
                             intr["cam_scale"]], dtype=jnp.float32)

@@ -8,31 +8,53 @@ native library all release the GIL on the heavy parts.
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from typing import Dict, Iterator, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from plr2_tpu.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+from plr2_tpu.data.preprocess import (IMAGENET_MEAN, IMAGENET_STD, Sample,
+                                      color_jitter)
 
 
-def host_prepare(raw: Dict, num_points: int, seed: int = 0) -> Dict:
-    """Full host-side sample prep via the native data plane.
+def _native_geometry(raw: Dict, num_points: int, seed: int):
+    """Native-plane geometry: bbox (from bbox_mask when the loader
+    distinguishes it — upstream crops around the label alone), choose
+    sampling over the depth-valid mask, depth backprojection.
 
-    Returns numpy arrays ready for device upload: img (normalized crop),
-    points, choose, target, model_points, idx. Falls back to the
-    Python/JAX path upstream if the native library is unavailable.
-    """
+    -> (cloud, choose, (rmin, rmax, cmin, cmax), count)"""
     from plr2_tpu import native
 
     intr = raw["intrinsics"]
-    (rmin, rmax, cmin, cmax), choose, count = native.mask_bbox_choose(
-        raw["mask"], num_points, seed=seed)
+    bbox_mask = raw.get("bbox_mask")
+    if bbox_mask is not None and bbox_mask is not raw["mask"]:
+        bbox = native.mask_bbox(bbox_mask)
+        choose, count = native.choose_in_bbox(raw["mask"], bbox, num_points,
+                                              seed=seed)
+    else:
+        bbox, choose, count = native.mask_bbox_choose(
+            raw["mask"], num_points, seed=seed)
+    rmin, rmax, cmin, cmax = bbox
     depth_crop = np.asarray(raw["depth"][rmin:rmax, cmin:cmax], np.float32)
     cloud = native.backproject(
         depth_crop, choose, cmax - cmin, rmin, cmin,
         intr["cx"], intr["cy"], intr["fx"], intr["fy"], intr["cam_scale"])
+    return cloud, choose, bbox, count
+
+
+def host_prepare(raw: Dict, num_points: int, seed: int = 0) -> Dict:
+    """Full host-side sample prep via the native data plane (no
+    augmentation — the eval-path shape).
+
+    Returns numpy arrays ready for device upload: img (normalized crop),
+    points, choose, target, model_points, idx.
+    """
+    cloud, choose, (rmin, rmax, cmin, cmax), count = _native_geometry(
+        raw, num_points, seed)
     img = raw["color"][rmin:rmax, cmin:cmax].astype(np.float32) / 255.0
     img = (img - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
         IMAGENET_STD, np.float32)
@@ -44,17 +66,65 @@ def host_prepare(raw: Dict, num_points: int, seed: int = 0) -> Dict:
         idx=np.int32(raw["obj_idx"]), mask_count=count)
 
 
+def host_prepare_raw(raw: Dict, num_points: int, seed: int = 0) -> Dict:
+    """Training-path host prep: native geometry plane only; color stays
+    uint8 and the pose stays (R, t) so `finish_sample` can apply the
+    reference's train-time augmentation (ColorJitter + translation noise)
+    on device after upload."""
+    cloud, choose, (rmin, rmax, cmin, cmax), count = _native_geometry(
+        raw, num_points, seed)
+    return dict(
+        points=cloud, choose=choose,
+        img_u8=np.ascontiguousarray(raw["color"][rmin:rmax, cmin:cmax]),
+        model_points=np.asarray(raw["model_points"], np.float32),
+        target_r=np.asarray(raw["target_r"], np.float32),
+        target_t=np.asarray(raw["target_t"], np.float32),
+        idx=np.int32(raw["obj_idx"]), mask_count=count)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("add_noise", "noise_trans"))
+def finish_sample(img_u8, points, choose, model_points, target_r, target_t,
+                  idx, key, add_noise: bool = False,
+                  noise_trans: float = 0.03) -> Sample:
+    """Device tail for native-prepared samples: ColorJitter + translation
+    noise (train) and ImageNet normalization — the same augmentation math
+    as preprocess_crop, applied after upload so the native host plane
+    doesn't have to replicate the jax PRNG streams."""
+    _, k_jit, k_trans = jax.random.split(key, 3)
+    img01 = img_u8.astype(jnp.float32) / 255.0
+    if add_noise:
+        img01 = color_jitter(img01, k_jit)
+        add_t = jax.random.uniform(k_trans, (3,), minval=-noise_trans,
+                                   maxval=noise_trans)
+        points = points + add_t
+    else:
+        add_t = jnp.zeros(3)
+    img = (img01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    target = model_points @ target_r.T + target_t + add_t
+    return Sample(points=points, choose=choose, img=img, target=target,
+                  model_points=model_points, idx=idx)
+
+
 class PrefetchLoader:
-    """Iterate prepared samples with `num_workers` background threads."""
+    """Iterate prepared samples with `num_workers` background threads.
+
+    `raw_mode=False` (default): workers yield host_prepare dicts (fully
+    normalized, no augmentation). `raw_mode=True`: workers yield
+    host_prepare_raw dicts (uint8 crop + pose, for device-side
+    augmentation via finish_sample); each dict carries its dataset index
+    under "index"."""
 
     def __init__(self, dataset, num_points: int, num_workers: int = 4,
-                 prefetch: int = 16, shuffle: bool = False, seed: int = 0):
+                 prefetch: int = 16, shuffle: bool = False, seed: int = 0,
+                 raw_mode: bool = False):
         self.dataset = dataset
         self.num_points = num_points
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.shuffle = shuffle
         self.seed = seed
+        self.raw_mode = raw_mode
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -78,8 +148,11 @@ class PrefetchLoader:
                     return
                 try:
                     raw = self.dataset.get_raw(i)
-                    s = host_prepare(raw, self.num_points,
-                                     seed=self.seed * 100003 + i)
+                    prep = host_prepare_raw if self.raw_mode else host_prepare
+                    s = prep(raw, self.num_points,
+                             seed=self.seed * 100003 + i)
+                    if self.raw_mode:
+                        s["index"] = i
                     done.put((("ok", i, s), wid))
                 except Exception as e:  # surfaced on the consumer side
                     done.put((("err", i, e), wid))
@@ -108,3 +181,40 @@ class PrefetchLoader:
             if kind == "err":
                 raise payload
             pending[pos_of[i]] = payload
+
+
+def iterate_prefetch_samples(dataset, key: jax.Array, num_points: int,
+                             add_noise: bool = False,
+                             noise_trans: float = 0.03,
+                             shuffle: bool = False, seed: int = 0,
+                             num_workers: int = 4) -> Iterator[Sample]:
+    """Sample iterator over the native data plane: worker threads run
+    decode + C++ mask->bbox->choose->backproject, the consumer applies the
+    device-side augmentation (finish_sample).
+
+    Deterministic regardless of thread scheduling: the host choose seed and
+    the device augmentation key are both derived from the dataset index, so
+    `num_workers=0` (sequential, no threads) yields bit-identical samples —
+    pinned by tests/test_native.py."""
+    def finish(prep, i):
+        return finish_sample(
+            jnp.asarray(prep["img_u8"]), jnp.asarray(prep["points"]),
+            jnp.asarray(prep["choose"]), jnp.asarray(prep["model_points"]),
+            jnp.asarray(prep["target_r"]), jnp.asarray(prep["target_t"]),
+            jnp.asarray(prep["idx"]), jax.random.fold_in(key, i),
+            add_noise=add_noise, noise_trans=noise_trans)
+
+    if num_workers <= 0:
+        order = np.arange(len(dataset))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for i in order:
+            prep = host_prepare_raw(dataset.get_raw(int(i)), num_points,
+                                    seed=seed * 100003 + int(i))
+            yield finish(prep, int(i))
+        return
+
+    loader = PrefetchLoader(dataset, num_points, num_workers=num_workers,
+                            shuffle=shuffle, seed=seed, raw_mode=True)
+    for prep in loader:
+        yield finish(prep, prep["index"])

@@ -7,3 +7,7 @@ from plr2_tpu.eval.metrics import (  # noqa: F401
     accuracy_threshold_curve,
 )
 from plr2_tpu.eval.evaluator import evaluate, EvalResult  # noqa: F401
+from plr2_tpu.eval.segment import (  # noqa: F401
+    write_segnet_results,
+    segnet_predictor,
+)

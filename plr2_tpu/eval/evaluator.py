@@ -30,6 +30,10 @@ class EvalResult:
     under_2cm: float = 0.0
     mean_distance: float = 0.0
     num_samples: int = 0
+    # Samples whose (predicted) mask had no valid pixels — the upstream
+    # eval's "NOT Pass! Lost detection!" path, which skips the sample
+    # entirely (excluded from both numerator and denominator).
+    lost_detections: int = 0
 
 
 def _estimate_sample(pipe, variables, s, refine_iterations):
@@ -86,8 +90,12 @@ def evaluate(
             per_obj.setdefault(obj, []).append(dis)
         pending = []
 
+    lost = 0
     for i in range(n):
         raw = dataset.get_raw(i)
+        if raw.get("lost"):
+            lost += 1
+            continue
         key, sub = jax.random.split(key)
         s = raw_to_sample(raw, sub, n_pts, add_noise=False)
         obj = int(raw["obj_idx"])
@@ -103,7 +111,7 @@ def evaluate(
         per_obj.setdefault(obj, []).append(dis)
     flush()
 
-    result = EvalResult(num_samples=len(dists))
+    result = EvalResult(num_samples=len(dists), lost_detections=lost)
     if not dists:
         return result
     result.mean_distance = float(np.mean(dists))

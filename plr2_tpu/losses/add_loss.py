@@ -81,19 +81,30 @@ def pose_loss(
 
     # ADD: paired mean distance (safe_norm: zero gradient at exact zeros,
     # torch.norm's convention — see ops/knn.py)
-    dis_add = jnp.mean(
-        safe_norm(pred - target[:, None, :, :]), axis=-1
-    )  # (B, N)
+    def add_all(_):
+        return jnp.mean(safe_norm(pred - target[:, None, :, :]), axis=-1)
 
     if not refine and len(sym_list) > 0:
         sym_arr = jnp.asarray(sym_list, dtype=idx.dtype)
         is_sym = jnp.any(idx[:, None] == sym_arr[None, :], axis=-1)  # (B,)
-        dis_adds = jax.vmap(
-            lambda p, t: _adds_distance(p, t, use_pallas)
-        )(pred, target)  # (B, N)
-        dis = jnp.where(is_sym[:, None], dis_adds, dis_add)
+
+        def adds_all(_):
+            return jax.vmap(
+                lambda p, t: _adds_distance(p, t, use_pallas)
+            )(pred, target)  # (B, N)
+
+        def mixed(_):
+            return jnp.where(is_sym[:, None], adds_all(None), add_all(None))
+
+        # lax.switch: uniform batches (the reference's batch-1 always is)
+        # compute only the distance they need — the O(N*M^2) ADD-S chamfer
+        # is ~M x the ADD cost, so skipping it for asymmetric samples
+        # matters in the hot loss
+        n_sym = jnp.sum(is_sym)
+        case = jnp.where(n_sym == 0, 0, jnp.where(n_sym == b, 1, 2))
+        dis = jax.lax.switch(case, (add_all, adds_all, mixed), None)
     else:
-        dis = dis_add
+        dis = add_all(None)
 
     c_safe = jnp.maximum(c, 1e-12)
     loss = jnp.mean(dis * c - w * jnp.log(c_safe))

@@ -53,6 +53,15 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int32)]
     lib.plr2_mask_bbox_choose.restype = ctypes.c_int
+    lib.plr2_mask_bbox.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.plr2_mask_bbox.restype = ctypes.c_int
+    lib.plr2_choose_in_bbox.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int32)]
+    lib.plr2_choose_in_bbox.restype = ctypes.c_int
     lib.plr2_backproject.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -88,6 +97,32 @@ def mask_bbox_choose(mask: np.ndarray, num_points: int, seed: int = 0):
         m.shape[0], m.shape[1], num_points, seed, bbox,
         choose.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return (bbox[0], bbox[1], bbox[2], bbox[3]), choose, count
+
+
+def mask_bbox(mask: np.ndarray) -> Tuple[int, int, int, int]:
+    """Snapped border-list bbox of `mask` alone (H, W) bool."""
+    lib = _load()
+    m = np.ascontiguousarray(mask, dtype=np.uint8)
+    bbox = (ctypes.c_int * 4)()
+    lib.plr2_mask_bbox(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        m.shape[0], m.shape[1], bbox)
+    return bbox[0], bbox[1], bbox[2], bbox[3]
+
+
+def choose_in_bbox(mask: np.ndarray, bbox: Tuple[int, int, int, int],
+                   num_points: int, seed: int = 0):
+    """Choose sampling of `mask` pixels inside a given bbox window ->
+    (choose (num_points,) int32 crop-flat indices, count)."""
+    lib = _load()
+    m = np.ascontiguousarray(mask, dtype=np.uint8)
+    choose = np.empty(num_points, dtype=np.int32)
+    count = lib.plr2_choose_in_bbox(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        m.shape[0], m.shape[1], bbox[0], bbox[1], bbox[2], bbox[3],
+        num_points, seed,
+        choose.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return choose, count
 
 
 def backproject(depth_crop: np.ndarray, choose: np.ndarray, crop_w: int,

@@ -35,35 +35,9 @@ int snap_len(int len) {
   return kBorderList[kBorderLen - 1];
 }
 
-}  // namespace
-
-extern "C" {
-
-// Snap a tight bbox to the border-list window (reference get_bbox tail).
-void plr2_snap_bbox(int rmin, int rmax, int cmin, int cmax, int img_h,
-                    int img_w, int* out /*rmin rmax cmin cmax*/) {
-  int r_b = snap_len(rmax - rmin);
-  int c_b = snap_len(cmax - cmin);
-  int cr = (rmin + rmax) / 2;
-  int cc = (cmin + cmax) / 2;
-  rmin = cr - r_b / 2;
-  rmax = cr + r_b / 2;
-  cmin = cc - c_b / 2;
-  cmax = cc + c_b / 2;
-  if (rmin < 0) { rmax -= rmin; rmin = 0; }
-  if (cmin < 0) { cmax -= cmin; cmin = 0; }
-  if (rmax > img_h) { rmin -= rmax - img_h; rmax = img_h; }
-  if (cmax > img_w) { cmin -= cmax - img_w; cmax = img_w; }
-  out[0] = rmin; out[1] = rmax; out[2] = cmin; out[3] = cmax;
-}
-
-// Fused mask -> snapped bbox -> choose sampling.
-// mask: (img_h*img_w) uint8; bbox_out: 4 ints; choose_out: num_points
-// flat indices INTO THE CROP. Returns the masked-pixel count inside the
-// crop (0 => all-zero choose, the reference's empty-sample signal).
-int plr2_mask_bbox_choose(const uint8_t* mask, int img_h, int img_w,
-                          int num_points, uint64_t seed, int* bbox_out,
-                          int32_t* choose_out) {
+// Tight bbox of the set pixels; returns false when the mask is empty.
+bool tight_bbox(const uint8_t* mask, int img_h, int img_w, int* rmin_out,
+                int* rmax_out, int* cmin_out, int* cmax_out) {
   int rmin = img_h, rmax = -1, cmin = img_w, cmax = -1;
   const int w8 = img_w / 8;
   for (int r = 0; r < img_h; ++r) {
@@ -97,18 +71,18 @@ int plr2_mask_bbox_choose(const uint8_t* mask, int img_h, int img_w,
       if (c_hi > cmax) cmax = c_hi;
     }
   }
-  if (rmax < 0) {  // empty mask
-    bbox_out[0] = 0; bbox_out[1] = std::min(40, img_h);
-    bbox_out[2] = 0; bbox_out[3] = std::min(40, img_w);
-    std::memset(choose_out, 0, sizeof(int32_t) * num_points);
-    return 0;
-  }
-  plr2_snap_bbox(rmin, rmax + 1, cmin, cmax + 1, img_h, img_w, bbox_out);
+  if (rmax < 0) return false;
+  *rmin_out = rmin; *rmax_out = rmax; *cmin_out = cmin; *cmax_out = cmax;
+  return true;
+}
 
-  const int r0 = bbox_out[0], r1 = bbox_out[1];
-  const int c0 = bbox_out[2], c1 = bbox_out[3];
+// Choose sampling over the masked pixels inside [r0,r1)x[c0,c1): uniform
+// subset in ascending crop-flat order when count > num_points, cyclic
+// wrap-pad when fewer, zeros when empty. Returns the count.
+int choose_in_window(const uint8_t* mask, int img_w, int r0, int r1, int c0,
+                     int c1, int num_points, uint64_t seed,
+                     int32_t* choose_out) {
   const int cw = c1 - c0;
-
   std::vector<int32_t> nz;
   nz.reserve(4096);
   for (int r = r0; r < r1; ++r) {
@@ -146,6 +120,70 @@ int plr2_mask_bbox_choose(const uint8_t* mask, int img_h, int img_w,
     for (int i = 0; i < num_points; ++i) choose_out[i] = nz[i % count];
   }
   return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Snap a tight bbox to the border-list window (reference get_bbox tail).
+void plr2_snap_bbox(int rmin, int rmax, int cmin, int cmax, int img_h,
+                    int img_w, int* out /*rmin rmax cmin cmax*/) {
+  int r_b = snap_len(rmax - rmin);
+  int c_b = snap_len(cmax - cmin);
+  int cr = (rmin + rmax) / 2;
+  int cc = (cmin + cmax) / 2;
+  rmin = cr - r_b / 2;
+  rmax = cr + r_b / 2;
+  cmin = cc - c_b / 2;
+  cmax = cc + c_b / 2;
+  if (rmin < 0) { rmax -= rmin; rmin = 0; }
+  if (cmin < 0) { cmax -= cmin; cmin = 0; }
+  if (rmax > img_h) { rmin -= rmax - img_h; rmax = img_h; }
+  if (cmax > img_w) { cmin -= cmax - img_w; cmax = img_w; }
+  out[0] = rmin; out[1] = rmax; out[2] = cmin; out[3] = cmax;
+}
+
+// Fused mask -> snapped bbox -> choose sampling.
+// mask: (img_h*img_w) uint8; bbox_out: 4 ints; choose_out: num_points
+// flat indices INTO THE CROP. Returns the masked-pixel count inside the
+// crop (0 => all-zero choose, the reference's empty-sample signal).
+int plr2_mask_bbox_choose(const uint8_t* mask, int img_h, int img_w,
+                          int num_points, uint64_t seed, int* bbox_out,
+                          int32_t* choose_out) {
+  int rmin, rmax, cmin, cmax;
+  if (!tight_bbox(mask, img_h, img_w, &rmin, &rmax, &cmin, &cmax)) {
+    bbox_out[0] = 0; bbox_out[1] = std::min(40, img_h);
+    bbox_out[2] = 0; bbox_out[3] = std::min(40, img_w);
+    std::memset(choose_out, 0, sizeof(int32_t) * num_points);
+    return 0;
+  }
+  plr2_snap_bbox(rmin, rmax + 1, cmin, cmax + 1, img_h, img_w, bbox_out);
+  return choose_in_window(mask, img_w, bbox_out[0], bbox_out[1], bbox_out[2],
+                          bbox_out[3], num_points, seed, choose_out);
+}
+
+// Snapped bbox of a mask alone (upstream bboxes come from the label mask,
+// choose sampling from label & depth-valid — plr2_choose_in_bbox below).
+// Returns 0 for an empty mask (bbox_out set to the empty-mask window).
+int plr2_mask_bbox(const uint8_t* mask, int img_h, int img_w, int* bbox_out) {
+  int rmin, rmax, cmin, cmax;
+  if (!tight_bbox(mask, img_h, img_w, &rmin, &rmax, &cmin, &cmax)) {
+    bbox_out[0] = 0; bbox_out[1] = std::min(40, img_h);
+    bbox_out[2] = 0; bbox_out[3] = std::min(40, img_w);
+    return 0;
+  }
+  plr2_snap_bbox(rmin, rmax + 1, cmin, cmax + 1, img_h, img_w, bbox_out);
+  return 1;
+}
+
+// Choose sampling inside an externally supplied bbox window.
+int plr2_choose_in_bbox(const uint8_t* mask, int img_h, int img_w, int r0,
+                        int r1, int c0, int c1, int num_points, uint64_t seed,
+                        int32_t* choose_out) {
+  (void)img_h;
+  return choose_in_window(mask, img_w, r0, r1, c0, c1, num_points, seed,
+                          choose_out);
 }
 
 // Backproject chosen crop pixels to a 3D cloud (reference dataset math).

@@ -1,2 +1,7 @@
 from plr2_tpu.train.trainer import Trainer, TrainState  # noqa: F401
-from plr2_tpu.train.checkpoint import CheckpointManager  # noqa: F401
+from plr2_tpu.train.batch_trainer import BatchTrainer  # noqa: F401
+from plr2_tpu.train.checkpoint import (  # noqa: F401
+    CheckpointManager,
+    save_variables,
+    load_variables,
+)

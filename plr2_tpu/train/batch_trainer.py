@@ -1,0 +1,126 @@
+"""Batched mesh-sharded trainer — the TPU-native throughput mode.
+
+The reference trains batch-1 with gradient accumulation (upstream
+tools/train.py; the faithful transcription is train/trainer.py). This
+trainer is the scaling counterpart: fixed-canvas batches, one XLA program
+per optimizer step (parallel/data_parallel.make_train_step), and — with
+`config.data_parallel > 1` — a `jax.sharding.Mesh` data axis: inputs
+batch-sharded, parameters replicated, gradient mean all-reduced over ICI.
+
+Semantics deltas vs the per-sample Trainer (both deliberate):
+  * the loss/grad is the batch MEAN per step (reference accumulation SUMS
+    `batch_size` per-sample grads — same direction, lr scale differs by
+    the batch size)
+  * BatchNorm sees real batch statistics instead of batch-1
+Curriculum (decay/refine margins, stage switches, checkpoint gating) is
+inherited unchanged from Trainer.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from plr2_tpu.config import PipelineConfig
+from plr2_tpu.data.bbox import BORDER_LIST
+from plr2_tpu.data.loader import stack_samples
+from plr2_tpu.parallel.data_parallel import make_train_step
+from plr2_tpu.parallel.mesh import make_mesh, shard_batch
+from plr2_tpu.pipeline import DenseFusionPipeline
+from plr2_tpu.train.trainer import Trainer, TrainState
+
+
+def _snap_canvas(max_dim: int) -> int:
+    """Smallest border-list bucket holding every crop in the batch — keeps
+    the number of distinct compiled step shapes bounded."""
+    for b in BORDER_LIST:
+        if b >= max_dim:
+            return b
+    return max_dim
+
+
+class BatchTrainer(Trainer):
+    """Trainer with batched, optionally mesh-sharded optimizer steps."""
+
+    def __init__(self, config: PipelineConfig,
+                 pipe: Optional[DenseFusionPipeline] = None):
+        super().__init__(config, pipe)
+        n = config.data_parallel
+        self.mesh = make_mesh(n) if n > 1 else None
+        if self.mesh is not None and config.train.batch_size % n:
+            raise ValueError(
+                f"batch_size {config.train.batch_size} not divisible by "
+                f"data_parallel {n}")
+        # one compiled step per (stage, lr, w) curriculum point
+        self._steps: Dict[Tuple, Tuple] = {}
+
+    def _get_step(self, state: TrainState):
+        key = (state.refine_started, state.lr, state.w)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.pipe, sym_list=self.sym_list, w=state.w, lr=state.lr,
+                refine_iterations=(self.cfg.train.refine_iterations
+                                   if state.refine_started else 0),
+                mesh=self.mesh, use_pallas=self.use_pallas)
+        return self._steps[key]
+
+    def _batches(self, dataset, key, seed: int):
+        """Yield stacked fixed-canvas batches; the tail batch is padded by
+        cycling its own samples (every real sample still contributes)."""
+        cfg = self.cfg
+        bsz = cfg.train.batch_size
+        pending: List = []
+        for s in self._sample_iter(dataset, key,
+                                   add_noise=cfg.dataset.add_noise,
+                                   shuffle=True, seed=seed):
+            pending.append(s)
+            if len(pending) == bsz:
+                yield self._stack(pending)
+                pending = []
+        if pending:
+            n = len(pending)
+            pending = [pending[i % n] for i in range(bsz)]
+            yield self._stack(pending)
+
+    def _stack(self, samples):
+        canvas = _snap_canvas(max(
+            max(s.img.shape[0], s.img.shape[1]) for s in samples))
+        canvas = max(canvas, self.cfg.dataset.crop_size)
+        batch = stack_samples(samples, crop=canvas)
+        d = {"img": batch.img, "points": batch.points,
+             "choose": batch.choose, "target": batch.target,
+             "model_points": batch.model_points, "idx": batch.idx}
+        return shard_batch(self.mesh, d) if self.mesh is not None else d
+
+    def train_epoch(self, state: TrainState, dataset, key):
+        # opt_state from Trainer.init_state / update_curriculum targets the
+        # same params with the same optax.adam structure — reused as-is
+        _, step = self._get_step(state)
+        losses, dists = [], []
+        t0 = time.time()
+        for rep in range(self.cfg.train.repeat_epoch):
+            key, k_data = jax.random.split(key)
+            for batch in self._batches(dataset, k_data,
+                                       seed=state.epoch * 997 + rep):
+                key, kd = jax.random.split(key)
+                state.variables, state.opt_state, metrics = step(
+                    state.variables, state.opt_state, batch, kd)
+                losses.append(float(metrics["loss"]))
+                dists.append(float(metrics["dis"]))
+        return state, {
+            "train_loss": float(jnp.mean(jnp.asarray(losses))) if losses else 0.0,
+            "train_dis": float(jnp.mean(jnp.asarray(dists))) if dists else 0.0,
+            "seconds": time.time() - t0,
+        }
+
+    def update_curriculum(self, state: TrainState, test_dis: float) -> TrainState:
+        prev = (state.refine_started, state.lr, state.w)
+        state = super().update_curriculum(state, test_dis)
+        if prev != (state.refine_started, state.lr, state.w):
+            # force a rebuild at the new curriculum point; the superclass
+            # already re-inits opt_state for the (possibly new) target
+            self._steps.pop(prev, None)
+        return state

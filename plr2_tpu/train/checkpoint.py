@@ -15,6 +15,29 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def save_variables(path: str, variables) -> str:
+    """Persist a bare flax variable tree (msgpack via flax.serialization).
+
+    Used for auxiliary models that don't carry the Trainer's curriculum
+    state — e.g. SegNet (the reference torch.save's a plain state dict for
+    vanilla_segmentation)."""
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(_to_numpy_tree(variables)))
+    return path
+
+
+def load_variables(path: str, template):
+    """Load a variable tree saved by save_variables; `template` provides
+    the tree structure (e.g. a freshly init'd model's variables)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
 class CheckpointManager:
     """Saves {posenet, refiner} variables + curriculum scalars; keeps the
     best-by-test-distance checkpoint like the reference's

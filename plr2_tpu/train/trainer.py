@@ -168,6 +168,28 @@ class Trainer:
 
     # ---------- epoch loops ----------
 
+    def _sample_iter(self, dataset, key, add_noise: bool, shuffle: bool,
+                     seed: int):
+        """Per-sample iterator: inline device preprocessing by default;
+        with cfg.train.workers > 0 (and the C++ library built) the threaded
+        native data plane feeds samples instead, augmentation applied on
+        device (data/prefetch.py). The two paths draw choose-sampling from
+        different RNG streams — both are the reference's uniform-subset
+        contract."""
+        workers = self.cfg.train.workers
+        if workers > 0:
+            from plr2_tpu import native
+            if native.available():
+                from plr2_tpu.data.prefetch import iterate_prefetch_samples
+                return iterate_prefetch_samples(
+                    dataset, key, self.cfg.model.num_points,
+                    add_noise=add_noise,
+                    noise_trans=self.cfg.dataset.noise_trans,
+                    shuffle=shuffle, seed=seed, num_workers=workers)
+        return iterate_samples(dataset, key, self.cfg.model.num_points,
+                               add_noise=add_noise, shuffle=shuffle,
+                               seed=seed)
+
     def train_epoch(self, state: TrainState, dataset, key) -> Tuple[TrainState, Dict]:
         cfg = self.cfg.train
         accum = max(1, cfg.batch_size // (cfg.refine_iterations
@@ -180,10 +202,10 @@ class Trainer:
         losses, dists = [], []
         t0 = time.time()
         for rep in range(cfg.repeat_epoch):
-            for s in iterate_samples(dataset, jax.random.fold_in(key, rep),
-                                     self.cfg.model.num_points,
-                                     add_noise=self.cfg.dataset.add_noise,
-                                     shuffle=True, seed=state.epoch * 997 + rep):
+            for s in self._sample_iter(dataset, jax.random.fold_in(key, rep),
+                                       add_noise=self.cfg.dataset.add_noise,
+                                       shuffle=True,
+                                       seed=state.epoch * 997 + rep):
                 args = (state.variables, s.img[None], s.points[None],
                         s.choose[None], s.target[None], s.model_points[None],
                         s.idx[None])
@@ -217,8 +239,8 @@ class Trainer:
         dists = []
         refine_iters = (self.cfg.train.refine_iterations
                         if state.refine_started else 0)
-        for s in iterate_samples(dataset, key, self.cfg.model.num_points,
-                                 add_noise=False):
+        for s in self._sample_iter(dataset, key, add_noise=False,
+                                   shuffle=False, seed=0):
             dis = self.eval_dis(
                 state.variables, s.img[None], s.points[None], s.choose[None],
                 s.target[None], s.model_points[None], s.idx[None],

@@ -203,3 +203,152 @@ def test_safe_norm_matches_torch_convention(rng):
                                rtol=1e-6)
     g = jax.grad(lambda v: jnp.sum(safe_norm(v)))(jnp.zeros((2, 3)))
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+# ---------------- torch oracle for the full loss chain ----------------
+# Differentiable transcription of the reference loss semantics
+# (lib/loss.py loss_calculation + lib/loss_refiner.py [upstream, mount
+# empty]) in torch: unlike the NumPy oracle above, this also pins the
+# GRADIENTS of the chained loss, exercising the same autograd conventions
+# (norm/min subgradients) the reference trained with.
+
+def _t_quat_to_mat(q):
+    import torch
+    q = q / q.norm(dim=-1, keepdim=True)
+    w, x, y, z = q.unbind(-1)
+    return torch.stack([
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    ], dim=-1).reshape(q.shape[:-1] + (3, 3))
+
+
+def _t_pose_loss(pred_r, pred_t, pred_c, target, model_points, idx, points,
+                 w, refine, sym_list):
+    import torch
+    b, n, _ = pred_r.shape
+    losses, outs = [], []
+    for bi in range(b):
+        rot = _t_quat_to_mat(pred_r[bi])                     # (N,3,3)
+        t = points[bi] + pred_t[bi]                          # (N,3)
+        pred = model_points[bi][None] @ rot.transpose(1, 2) + t[:, None, :]
+        if (not refine) and (int(idx[bi]) in sym_list):
+            d2 = ((pred[:, :, None, :] - target[bi][None, None]) ** 2).sum(-1)
+            dis = d2.min(-1).values.clamp_min(1e-18).sqrt().mean(-1)
+        else:
+            dis = (pred - target[bi][None]).norm(dim=-1).mean(-1)
+        c = pred_c[bi, :, 0]
+        losses.append((dis * c - w * torch.log(c)).mean())
+        which = int(c.argmax())
+        rot_b = rot[which].detach()
+        t_b = t[which].detach()
+        outs.append((dis[which], (points[bi] - t_b) @ rot_b,
+                     (target[bi] - t_b) @ rot_b))
+    return torch.stack(losses).mean(), outs
+
+
+def _t_refine_loss(pred_r, pred_t, target, model_points, idx, points,
+                   sym_list):
+    import torch
+    b = target.shape[0]
+    dis_out, np_out, nt_out = [], [], []
+    for bi in range(b):
+        rot = _t_quat_to_mat(pred_r[bi, 0])
+        t = pred_t[bi, 0]
+        pred = model_points[bi] @ rot.T + t
+        if int(idx[bi]) in sym_list:
+            d2 = ((pred[:, None, :] - target[bi][None]) ** 2).sum(-1)
+            dis = d2.min(-1).values.clamp_min(1e-18).sqrt().mean()
+        else:
+            dis = (pred - target[bi]).norm(dim=-1).mean()
+        dis_out.append(dis)
+        np_out.append((points[bi] - t.detach()) @ rot.detach())
+        nt_out.append((target[bi] - t.detach()) @ rot.detach())
+    import torch as _torch
+    return (_torch.stack(dis_out), _torch.stack(np_out),
+            _torch.stack(nt_out))
+
+
+def test_loss_chain_matches_torch_oracle(loss_inputs, rng):
+    """Full curriculum loss chain — pose_loss(refine=True) feeding two
+    chained refine_loss iterations — values AND gradients vs torch."""
+    import torch
+
+    pred_r, pred_t, pred_c, target, model_points, idx, points = loss_inputs
+    b = target.shape[0]
+    sym, w = (7, 8), 0.015
+    dr = [rng.normal(size=(b, 1, 4)).astype(np.float32) for _ in range(2)]
+    dt = [(rng.normal(size=(b, 1, 3)) * 0.05).astype(np.float32)
+          for _ in range(2)]
+
+    # ---- jax: chained total = pose loss + per-iteration mean distances
+    def jax_chain(pr, pt, pc, dr0, dt0, dr1, dt1):
+        out = pose_loss(pr, pt, pc,
+                        *map(jnp.asarray, (target, model_points, idx, points)),
+                        w=w, refine=True, sym_list=sym)
+        total = out.loss
+        new_p, new_t = out.new_points, out.new_target
+        for d_r, d_t in ((dr0, dt0), (dr1, dt1)):
+            ro = refine_loss(d_r, d_t, new_t,
+                             jnp.asarray(model_points), jnp.asarray(idx),
+                             new_p, sym_list=sym)
+            total = total + jnp.mean(ro.dis)
+            new_p, new_t = ro.new_points, ro.new_target
+        return total, (new_p, new_t)
+
+    args = tuple(map(jnp.asarray, (pred_r, pred_t, pred_c,
+                                   dr[0], dt[0], dr[1], dt[1])))
+    (j_total, (j_np, j_nt)), j_grads = jax.value_and_grad(
+        jax_chain, argnums=tuple(range(7)), has_aux=True)(*args)
+
+    # ---- torch: same chain
+    t_args = [torch.tensor(a, requires_grad=True)
+              for a in (pred_r, pred_t, pred_c, dr[0], dt[0], dr[1], dt[1])]
+    t_pr, t_pt, t_pc, t_dr0, t_dt0, t_dr1, t_dt1 = t_args
+    t_target = torch.tensor(target)
+    t_mp = torch.tensor(model_points)
+    t_points = torch.tensor(points)
+    loss0, outs = _t_pose_loss(t_pr, t_pt, t_pc, t_target, t_mp, idx,
+                               t_points, w, True, sym)
+    total = loss0
+    new_p = torch.stack([o[1] for o in outs])
+    new_t = torch.stack([o[2] for o in outs])
+    for d_r, d_t in ((t_dr0, t_dt0), (t_dr1, t_dt1)):
+        dis, new_p, new_t = _t_refine_loss(d_r, d_t, new_t, t_mp, idx,
+                                           new_p, sym)
+        total = total + dis.mean()
+    total.backward()
+
+    np.testing.assert_allclose(float(j_total), float(total), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_np), new_p.detach().numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(j_nt), new_t.detach().numpy(),
+                               atol=2e-5)
+    for jg, ta in zip(j_grads, t_args):
+        np.testing.assert_allclose(np.asarray(jg), ta.grad.numpy(),
+                                   atol=5e-4)
+
+
+@pytest.mark.parametrize("idx_vals", [(0, 2), (7, 8), (0, 7)])
+def test_pose_loss_branch_dispatch_matches_oracle(loss_inputs, idx_vals):
+    """The lax.switch distance dispatch (no-sym / all-sym / mixed batches
+    compute only what they need) is semantically invisible."""
+    pred_r, pred_t, pred_c, target, model_points, _, points = loss_inputs
+    idx = np.array(idx_vals, dtype=np.int32)
+    w, sym = 0.015, (7, 8)
+    ref_loss, ref_outs = _np_pose_loss(
+        pred_r, pred_t, pred_c, target, model_points, idx, points, w,
+        False, sym)
+    out = pose_loss(
+        *map(jnp.asarray, (pred_r, pred_t, pred_c, target, model_points,
+                           idx, points)),
+        w=w, refine=False, sym_list=sym)
+    np.testing.assert_allclose(float(out.loss), ref_loss, rtol=2e-5)
+    for bi, (rd, _, _) in enumerate(ref_outs):
+        np.testing.assert_allclose(float(out.dis[bi]), rd, rtol=2e-4)
+    # gradients stay finite through every branch
+    g = jax.grad(lambda r: pose_loss(
+        r, *map(jnp.asarray, (pred_t, pred_c, target, model_points, idx,
+                              points)),
+        w=w, refine=False, sym_list=sym).loss)(jnp.asarray(pred_r))
+    assert bool(jnp.isfinite(g).all())

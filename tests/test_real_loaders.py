@@ -312,3 +312,63 @@ def test_ycb_minimum_visible_resample(ycb_root, monkeypatch):
     raw = ds.get_raw(0, obj_idx=0)
     assert calls["n"] >= 2  # the degenerate draw was rejected
     assert raw["mask"].sum() > 50
+
+
+def test_linemod_segnet_results_eval(linemod_root, tmp_path):
+    """The upstream eval protocol with predicted (non-GT) masks:
+    segnet_results/{obj:02d}_label/{frame:04d}_label.png, pixel==255 ->
+    object; an empty predicted mask is a 'Lost detection' the evaluator
+    skips."""
+    from PIL import Image
+
+    from plr2_tpu.data import LinemodDataset
+    from plr2_tpu.eval import evaluate, write_segnet_results
+    from plr2_tpu.pipeline import DenseFusionPipeline
+
+    # render predicted masks through the writer: a fake predictor that
+    # erodes the GT mask (simulating imperfect segmentation). The writer
+    # iterates test.txt (frame 1 only) for object 01.
+    gt_mask = np.asarray(Image.open(
+        os.path.join(linemod_root, "data", "01", "mask", "0001.png"))) > 128
+
+    def predict_labels(color):
+        eroded = gt_mask.copy()
+        eroded[:, 1::3] = False  # drop every third column
+        return eroded.astype(np.int32)  # class 1 = objlist position 0
+
+    out = str(tmp_path / "segnet_results")
+    n = write_segnet_results(linemod_root, out, predict_labels,
+                             objlist=[1], split="test")
+    assert n == 1
+    assert os.path.exists(os.path.join(out, "01_label", "0001_label.png"))
+
+    ds_pred = LinemodDataset(linemod_root, "test", num_points=96,
+                             num_mesh_points=128, objlist=[1],
+                             segnet_results=out)
+    ds_gt = LinemodDataset(linemod_root, "test", num_points=96,
+                           num_mesh_points=128, objlist=[1])
+    raw_pred = ds_pred.get_raw(0)
+    raw_gt = ds_gt.get_raw(0)
+    assert not raw_pred["lost"]
+    # the predicted mask is the eroded one, strictly smaller than GT
+    assert raw_pred["mask"].sum() < raw_gt["mask"].sum()
+    assert not raw_pred["bbox_mask"][:, 1::3].any()
+
+    # the eval protocol runs end-to-end from predicted masks
+    pipe = DenseFusionPipeline(num_points=96, num_objects=1)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+    diam = {0: ds_pred.diameters[1]}
+    res = evaluate(pipe, variables, ds_pred, sym_list=(), num_points=96,
+                   refine_iterations=1, diameters=diam)
+    assert res.num_samples == 1
+    assert res.lost_detections == 0
+    assert np.isfinite(res.mean_distance)
+
+    # empty predicted mask -> lost detection, skipped (not scored)
+    Image.fromarray(np.zeros_like(gt_mask, dtype=np.uint8)).save(
+        os.path.join(out, "01_label", "0001_label.png"))
+    assert ds_pred.get_raw(0)["lost"]
+    res2 = evaluate(pipe, variables, ds_pred, sym_list=(), num_points=96,
+                    refine_iterations=1, diameters=diam)
+    assert res2.num_samples == 0
+    assert res2.lost_detections == 1

@@ -234,8 +234,18 @@ def test_posenet_forward_matches_torch_mirror(rng):
     variables = model.init(jax.random.key(0), jnp.asarray(img),
                            jnp.asarray(cloud), jnp.asarray(choose),
                            jnp.asarray(obj))
-    # non-trivial batch stats so BN eval actually normalizes
-    variables = jax.tree_util.tree_map(lambda x: x, variables)
+    # non-trivial batch stats so BN eval actually normalizes: random means
+    # and positive variances replace the init (mean 0, var 1) stats before
+    # the transplant, so both frameworks must apply the same normalization
+    def _randomize_stat(path, x):
+        r = rng.normal(size=x.shape).astype(np.float32)
+        if any("var" in str(p) for p in path):
+            return jnp.asarray(np.abs(r) * 0.5 + 0.3)
+        return jnp.asarray(r * 0.3)
+
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree_util.tree_map_with_path(
+        _randomize_stat, variables["batch_stats"])
 
     jr, jt, jc, jemb = model.apply(variables, jnp.asarray(img),
                                    jnp.asarray(cloud), jnp.asarray(choose),

@@ -15,6 +15,11 @@ def main():
     p.add_argument("--model", type=str, default="",
                    help="checkpoint directory (CheckpointManager tag 'best')")
     p.add_argument("--refine_iterations", type=int, default=4)
+    p.add_argument("--segnet_results", type=str, default="",
+                   help="directory of predicted masks in the upstream "
+                        "layout {dir}/{obj:02d}_label/{frame:04d}_label.png "
+                        "(the reference eval's segnet_results/); empty = GT "
+                        "masks. Generate with tools/segment_linemod.py.")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
@@ -47,7 +52,8 @@ def main():
         diameters = ds.diameters
     else:
         ds = LinemodDataset(args.dataset_root, "test", cfg.model.num_points,
-                            cfg.dataset.num_mesh_points, add_noise=False)
+                            cfg.dataset.num_mesh_points, add_noise=False,
+                            segnet_results=args.segnet_results or None)
         diameters = {ds.objlist.index(o): d for o, d in ds.diameters.items()}
 
     res = evaluate(pipe, state.variables, ds,
@@ -58,6 +64,9 @@ def main():
         print(f"object {obj:2d}: success {s * 100:.2f}%")
     print(f"mean success rate: {res.mean_success * 100:.2f}%  "
           f"(mean dis {res.mean_distance:.4f} m, {res.num_samples} samples)")
+    if res.lost_detections:
+        print(f"lost detections (empty predicted mask, skipped): "
+              f"{res.lost_detections}")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,9 @@ def parse_args():
     p.add_argument("--dataset", choices=["ycb", "linemod"], default="linemod")
     p.add_argument("--dataset_root", type=str, default="")
     p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--workers", type=int, default=0, help="unused; host decode is inline")
+    p.add_argument("--workers", type=int, default=0,
+                   help="host data-plane worker threads (0 = inline device "
+                        "preprocessing; >0 = threaded C++ data plane)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lr_rate", type=float, default=0.3)
     p.add_argument("--w", type=float, default=0.015)
@@ -41,6 +43,14 @@ def parse_args():
     p.add_argument("--log_dir", type=str, default="experiments/logs")
     p.add_argument("--synthetic", action="store_true",
                    help="train on generated fixtures (no dataset_root needed)")
+    p.add_argument("--batched", action="store_true",
+                   help="batched throughput mode (one XLA program per "
+                        "optimizer step) instead of the reference-faithful "
+                        "per-sample accumulation")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard batches over this many devices "
+                        "(jax.sharding Mesh data axis; implies --batched); "
+                        "0 = use the config value")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args()
@@ -77,7 +87,7 @@ def main():
             checkpoint_dir=args.outf, log_dir=args.log_dir,
             resume_posenet=args.resume_posenet,
             resume_refinenet=args.resume_refinenet,
-            start_epoch=args.start_epoch))
+            start_epoch=args.start_epoch, workers=args.workers))
     else:
         args.nepoch = cfg.train.nepoch
 
@@ -106,9 +116,17 @@ def main():
                              cfg.dataset.num_mesh_points, add_noise=False,
                              num_mesh_points_large=cfg.dataset.num_mesh_points_large)
 
+    if args.data_parallel:
+        cfg = dataclasses.replace(cfg, data_parallel=args.data_parallel)
+
     logger = setup_logger(
         "train", os.path.join(args.log_dir, f"train_{args.dataset}.log"))
-    trainer = Trainer(cfg)
+    if args.batched or args.data_parallel or cfg.data_parallel > 1:
+        from plr2_tpu.train import BatchTrainer
+        trainer = BatchTrainer(cfg)
+        logger.info(f"batched mode (data_parallel={cfg.data_parallel})")
+    else:
+        trainer = Trainer(cfg)
     import jax.random
     state = trainer.init_state(jax.random.key(args.seed))
     ckpt = CheckpointManager(os.path.join(args.outf, args.dataset))

@@ -23,6 +23,9 @@ def main():
     p.add_argument("--crop", type=int, default=128)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--logs_path", type=str, default="experiments/logs/seg")
+    p.add_argument("--save_path", type=str,
+                   default="experiments/trained_models/seg",
+                   help="directory for best.msgpack/last.msgpack variables")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -49,6 +52,8 @@ def main():
             frames.append(types.SimpleNamespace(
                 color=fr["color"], label=np.asarray(fr["label"], np.int32)))
 
+    from plr2_tpu.train.checkpoint import save_variables
+
     trainer = SegTrainer(num_classes=args.num_classes, lr=args.lr,
                          crop=args.crop, batch=args.batch_size)
     state = trainer.init_state(jax.random.key(0))
@@ -56,6 +61,12 @@ def main():
         state = trainer.train_epoch(state, frames, seed=epoch)
         logger.info(f"epoch {epoch}: loss={state['last_epoch_loss']:.5f} "
                     f"({state['seconds']:.1f}s)")
+        save_variables(os.path.join(args.save_path, "last.msgpack"),
+                       state["variables"])
+        if state["last_epoch_loss"] < state["best_loss"]:
+            state["best_loss"] = state["last_epoch_loss"]
+            save_variables(os.path.join(args.save_path, "best.msgpack"),
+                           state["variables"])
 
 
 if __name__ == "__main__":
