@@ -6,12 +6,14 @@ paper runtime: ~0.02 s estimation + ~0.01 s refine per frame; BASELINE.md).
 vs_baseline = measured frames/s / 33.3.
 
 Default mode is the bf16 fast-inference path (the f32 tree is the
-reference-parity training mode; `--f32` benches it). `--pallas` swaps the
-pose-head MLP ladders and PSP upsample stages to the hand-written Pallas
-kernels — measured on v5e (batch 64): bf16 2154 f/s plain XLA, 2034 with
-the Pallas heads, 1956 with heads+upsample kernels; XLA's fused bf16
-matmul/conv schedules win end-to-end, so the kernels stay opt-in
-(docs/PERF_NOTES.md has the full matrix).
+reference-parity training mode; `--f32` benches it) with the
+phase-decomposed PSP upsample stages (ops/phase_upconv.py; `--no-phase`
+disables: measured 2582 vs 2437 f/s at batch 128, 2229 vs 2176 at 64).
+`--pallas` swaps the pose-head MLP ladders and PSP upsample stages to the
+hand-written Pallas kernels — measured on v5e (batch 64): bf16 2154 f/s
+plain XLA, 2034 with the Pallas heads, 1956 with heads+upsample kernels;
+XLA's fused bf16 matmul/conv schedules win end-to-end, so the kernels
+stay opt-in (docs/PERF_NOTES.md has the full matrix).
 
 Measurement methodology (important on this environment): the TPU is
 reached through a relay with ~30-60 ms per-dispatch latency, and
@@ -43,17 +45,20 @@ REFERENCE_FPS = 33.3  # DenseFusion paper runtime on its GPU (BASELINE.md)
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    batch = int(args[0]) if args else 64
+    batch = int(args[0]) if args else 128  # measured optimum (64: 2229,
+    # 128: 2582, 256: 2454 f/s — bf16+phase, v5e)
     inner = int(args[1]) if len(args) > 1 else 10
     use_bf16 = "--f32" not in sys.argv
     use_pallas = "--pallas" in sys.argv
+    no_phase = "--no-phase" in sys.argv
     crop, n_points, num_objects = 160, 1000, 21
 
     from plr2_tpu.pipeline import DenseFusionPipeline
 
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     pipe = DenseFusionPipeline(num_points=n_points, num_objects=num_objects,
-                               dtype=dtype, use_pallas=use_pallas)
+                               dtype=dtype, use_pallas=use_pallas,
+                               phase_upsample=not (no_phase or use_pallas))
     variables = pipe.init(jax.random.key(0), crop_hw=crop, batch=1)
     if use_bf16:
         variables = pipe.cast_variables(variables)

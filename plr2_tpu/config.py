@@ -58,6 +58,11 @@ class ModelConfig:
     # head kernel (2034) or heads+upsample kernels (1956) — XLA's fused
     # bf16 matmul/conv schedules win; see docs/PERF_NOTES.md.
     use_pallas_model: bool = False
+    # Phase-decomposed PSP upsample stages (ops/phase_upconv.py): exact
+    # rewrite of upsample2x+conv3x3 as one low-res conv with 4 phase
+    # kernels — no 2x-map HBM round-trips, full MXU tiles for the
+    # 64-channel stages. Benchmarked in bench.py (on by default there).
+    phase_upsample: bool = False
     dtype: str = "float32"  # compute dtype for the CNN trunk ("bfloat16" ok)
 
 

@@ -75,38 +75,112 @@ def normalize_image(img_u8: jnp.ndarray) -> jnp.ndarray:
     return (x - mean) / std
 
 
+# --- ColorJitter: exact torchvision float-tensor semantics -----------------
+# The reference trains with transforms.ColorJitter(0.2, 0.2, 0.2, 0.05)
+# (datasets/*/dataset.py [upstream, mount empty]). The per-op math below
+# transcribes torchvision's functional-tensor formulas (_blend with clamp,
+# rgb_to_grayscale weights 0.2989/0.587/0.114, contrast blending toward the
+# *grayscale* mean, hue via exact RGB<->HSV), and the op order is a uniform
+# random permutation per sample, as in ColorJitter.forward.
+
+
+def _blend(img1, img2, ratio):
+    return jnp.clip(ratio * img1 + (1.0 - ratio) * img2, 0.0, 1.0)
+
+
+def _rgb_to_grayscale(x):
+    """(..., 3) -> (..., 1); torchvision rgb_to_grayscale weights."""
+    w = jnp.asarray([0.2989, 0.587, 0.114], dtype=x.dtype)
+    return (x * w).sum(-1, keepdims=True)
+
+
+def adjust_brightness(x, factor):
+    return _blend(x, jnp.zeros_like(x), factor)
+
+
+def adjust_contrast(x, factor):
+    mean = jnp.mean(_rgb_to_grayscale(x), axis=(-3, -2, -1), keepdims=True)
+    return _blend(x, mean, factor)
+
+
+def adjust_saturation(x, factor):
+    return _blend(x, _rgb_to_grayscale(x), factor)
+
+
+def _rgb_to_hsv(x):
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.max(x, axis=-1)
+    minc = jnp.min(x, axis=-1)
+    eqc = maxc == minc
+    cr = maxc - minc
+    s = cr / jnp.where(eqc, 1.0, maxc)
+    cr_div = jnp.where(eqc, 1.0, cr)
+    rc = (maxc - r) / cr_div
+    gc = (maxc - g) / cr_div
+    bc = (maxc - b) / cr_div
+    hr = jnp.where(maxc == r, bc - gc, 0.0)
+    hg = jnp.where((maxc == g) & (maxc != r), 2.0 + rc - bc, 0.0)
+    hb = jnp.where((maxc != g) & (maxc != r), 4.0 + gc - rc, 0.0)
+    h = jnp.mod((hr + hg + hb) / 6.0 + 1.0, 1.0)
+    return jnp.stack([h, s, maxc], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    i = i.astype(jnp.int32) % 6
+    p = jnp.clip(v * (1.0 - s), 0.0, 1.0)
+    q = jnp.clip(v * (1.0 - s * f), 0.0, 1.0)
+    t = jnp.clip(v * (1.0 - s * (1.0 - f)), 0.0, 1.0)
+    onehot = jax.nn.one_hot(i, 6, dtype=v.dtype)  # (..., 6)
+    a1 = jnp.stack([v, q, p, p, t, v], axis=-1)
+    a2 = jnp.stack([t, v, v, q, p, p], axis=-1)
+    a3 = jnp.stack([p, p, t, v, v, q], axis=-1)
+    return jnp.stack([(onehot * a1).sum(-1), (onehot * a2).sum(-1),
+                      (onehot * a3).sum(-1)], axis=-1)
+
+
+def adjust_hue(x, factor):
+    hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
+    h = jnp.mod(hsv[..., 0] + factor, 1.0)
+    return _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+
+
+def apply_jitter_ops(img01, factors, order):
+    """Apply brightness/contrast/saturation/hue (factors (4,)) in the given
+    permutation `order` (4,) int32 of op ids 0..3."""
+    ops = (
+        lambda x: adjust_brightness(x, factors[0]),
+        lambda x: adjust_contrast(x, factors[1]),
+        lambda x: adjust_saturation(x, factors[2]),
+        lambda x: adjust_hue(x, factors[3]),
+    )
+
+    def body(i, x):
+        return jax.lax.switch(order[i], ops, x)
+
+    return jax.lax.fori_loop(0, 4, body, img01)
+
+
 def color_jitter(img01: jnp.ndarray, key: jax.Array,
                  brightness: float = 0.2, contrast: float = 0.2,
                  saturation: float = 0.2, hue: float = 0.05) -> jnp.ndarray:
-    """Device-side ColorJitter(0.2, 0.2, 0.2, 0.05) equivalent on [0,1] RGB.
-
-    Factor sampling matches torchvision ranges (uniform in [max(0,1-v),1+v],
-    hue in [-h, h]); application order is fixed b->c->s->h rather than
-    torchvision's random permutation.
-    """
-    kb, kc, ks, kh = jax.random.split(key, 4)
-    b = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness), maxval=1 + brightness)
-    c = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast), maxval=1 + contrast)
-    s = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation), maxval=1 + saturation)
-    h = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
-
-    x = jnp.clip(img01 * b, 0.0, 1.0)
-    gray = jnp.mean(x, axis=(-3, -2, -1), keepdims=True)
-    x = jnp.clip((x - gray) * c + gray, 0.0, 1.0)
-    lum = (x * jnp.asarray([0.299, 0.587, 0.114])).sum(-1, keepdims=True)
-    x = jnp.clip((x - lum) * s + lum, 0.0, 1.0)
-    # hue rotation in YIQ space (cheap approximation of HSV hue shift)
-    theta = 2.0 * jnp.pi * h
-    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
-    rgb2yiq = jnp.asarray([[0.299, 0.587, 0.114],
-                           [0.596, -0.274, -0.322],
-                           [0.211, -0.523, 0.312]])
-    yiq2rgb = jnp.linalg.inv(rgb2yiq)
-    rot = jnp.asarray([[1.0, 0.0, 0.0],
-                       [0.0, cos_t, -sin_t],
-                       [0.0, sin_t, cos_t]])
-    x = jnp.clip(x @ (yiq2rgb @ rot @ rgb2yiq).T, 0.0, 1.0)
-    return x
+    """Device-side ColorJitter(0.2, 0.2, 0.2, 0.05), torchvision semantics:
+    uniform factors in [max(0,1-v), 1+v] (hue in [-h, h]) applied in a
+    uniformly random per-sample order."""
+    kperm, kb, kc, ks, kh = jax.random.split(key, 5)
+    factors = jnp.stack([
+        jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness),
+                           maxval=1 + brightness),
+        jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast),
+                           maxval=1 + contrast),
+        jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation),
+                           maxval=1 + saturation),
+        jax.random.uniform(kh, (), minval=-hue, maxval=hue),
+    ])
+    order = jax.random.permutation(kperm, jnp.arange(4, dtype=jnp.int32))
+    return apply_jitter_ops(img01, factors, order)
 
 
 @functools.partial(jax.jit, static_argnames=("num_points", "add_noise"))

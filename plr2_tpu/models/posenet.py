@@ -101,6 +101,7 @@ class PoseNet(nn.Module):
     emb_dim: int = 32
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused Pallas head kernels (interpret off-TPU)
+    phase_upsample: bool = False  # phase-decomposed PSP upsample stages
 
     @nn.compact
     def __call__(self, img, cloud, choose, obj, *, train: bool = False):
@@ -110,6 +111,7 @@ class PoseNet(nn.Module):
         # log_softmax), skips the full-res 32ch map + softmax
         emb = PSPNet(emb_dim=self.emb_dim, dtype=self.dtype,
                      use_pallas=self.use_pallas,
+                     phase_upsample=self.phase_upsample,
                      name="cnn")(img, train=train, choose=choose)  # (B, N, 32)
         feat = PoseNetFeat(dtype=self.dtype, name="feat")(cloud, emb)
 

@@ -101,7 +101,8 @@ class PSPModule(nn.Module):
             p = adaptive_avg_pool_2d(x, size)
             p = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
                         name=f"stage{i}_conv")(p)
-            priors.append(bilinear_resize(p, h, w))
+            # gather-free upscale: MXU matmuls, not jax.image.resize gathers
+            priors.append(bilinear_upscale_mm(p, h, w))
         priors.append(x)
         y = jnp.concatenate(priors, axis=-1)
         y = nn.Conv(self.out_features, (1, 1), dtype=self.dtype,
@@ -126,6 +127,80 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+def _up_tap_indices(i: jnp.ndarray, n: int):
+    """Half-pixel 2x-upsample source taps for output coords `i` (at 2n
+    resolution): returns (i0, i1, w0, w1) with indices clamped to [0, n)
+    — clamped duplicates sum their weights, exactly like the
+    _bilinear_upscale_matrix accumulation."""
+    cpos = (i.astype(jnp.float32) + 0.5) / 2.0 - 0.5
+    m = jnp.floor(cpos)
+    f = cpos - m
+    i0 = jnp.clip(m, 0, n - 1).astype(jnp.int32)
+    i1 = jnp.clip(m + 1, 0, n - 1).astype(jnp.int32)
+    return i0, i1, 1.0 - f, f
+
+
+def sparse_upsample_conv_prelu(y, kernel, bias, prelu_alpha, choose):
+    """PSPUpsample (2x bilinear + 3x3 zero-pad conv + PReLU) evaluated ONLY
+    at `choose` flat positions of the (2h x 2w) output map.
+
+    y (B, h, w, C), kernel (3, 3, C, Cout), choose (B, N) -> (B, N, Cout).
+    Exact vs the dense stage followed by a gather (pinned by test): per
+    chosen pixel the 3x3 conv window needs a 3x3 patch of the upsampled
+    map, each tap a 2x2 half-pixel blend of y — 36 gathered taps replace
+    materializing the full-resolution map (the largest HBM tensor of the
+    decoder) and the dense conv over 2h*2w positions.
+    """
+    b, h, w, cin = y.shape
+    big_h, big_w = 2 * h, 2 * w
+    r = (choose // big_w).astype(jnp.int32)
+    c = (choose % big_w).astype(jnp.int32)
+    dr = jnp.arange(-1, 2, dtype=jnp.int32)
+    rows = r[..., None] + dr  # (B, N, 3) output-res conv window rows
+    cols = c[..., None] + dr
+    # conv zero padding: window positions outside the output map are zero
+    valid = (rows >= 0) & (rows < big_h)
+    validc = (cols >= 0) & (cols < big_w)
+    r0, r1, wr0, wr1 = _up_tap_indices(jnp.clip(rows, 0, big_h - 1), h)
+    c0, c1, wc0, wc1 = _up_tap_indices(jnp.clip(cols, 0, big_w - 1), w)
+
+    yflat = y.reshape(b, h * w, cin)
+
+    def gather(ri, ci):  # (B,N,3) x (B,N,3) -> (B, N, 3, 3, C)
+        idx = ri[:, :, :, None] * w + ci[:, :, None, :]
+        g = jnp.take_along_axis(yflat, idx.reshape(b, -1)[..., None], axis=1)
+        return g.reshape(idx.shape + (cin,))
+
+    wr0 = wr0[..., :, None, None].astype(y.dtype)
+    wr1 = wr1[..., :, None, None].astype(y.dtype)
+    wc0 = wc0[..., None, :, None].astype(y.dtype)
+    wc1 = wc1[..., None, :, None].astype(y.dtype)
+    xup = (gather(r0, c0) * wr0 * wc0 + gather(r0, c1) * wr0 * wc1 +
+           gather(r1, c0) * wr1 * wc0 + gather(r1, c1) * wr1 * wc1)
+    mask = (valid[..., :, None] & validc[..., None, :])[..., None]
+    xup = jnp.where(mask, xup, 0)
+    out = jnp.einsum("bnijc,ijco->bno", xup, kernel,
+                     preferred_element_type=y.dtype) + bias
+    return jnp.where(out >= 0, out, prelu_alpha * out)
+
+
+class _UpsampleParams(nn.Module):
+    """PSPUpsample's exact parameter tree (prelu_alpha + conv kernel/bias)
+    without the dense compute — the sparse decode path consumes the raw
+    weights, so checkpoints stay interchangeable."""
+
+    out_channels: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        alpha = self.param("prelu_alpha", nn.initializers.constant(0.25), ())
+        kernel, bias = _ConvParams(features=self.out_channels,
+                                   in_features=self.in_features,
+                                   name="conv")()
+        return kernel, bias, alpha
+
+
 class PSPUpsample(nn.Module):
     """2x bilinear upsample -> 3x3 conv -> PReLU.
 
@@ -138,6 +213,7 @@ class PSPUpsample(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_phase: bool = False  # phase-decomposed upconv (ops/phase_upconv.py)
 
     @nn.compact
     def __call__(self, x):
@@ -153,8 +229,16 @@ class PSPUpsample(nn.Module):
             return fused_upconv3x3_prelu(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 bias, prelu_alpha, interpret)
+        if self.use_phase:
+            from plr2_tpu.ops.phase_upconv import phase_upconv3x3_prelu
+
+            kernel, bias = _ConvParams(features=self.out_channels,
+                                       in_features=x.shape[-1],
+                                       name="conv")()
+            return phase_upconv3x3_prelu(
+                x.astype(self.dtype), kernel, bias, prelu_alpha)
         _, h, w, _ = x.shape
-        x = bilinear_resize(x, 2 * h, 2 * w)
+        x = bilinear_upscale_mm(x, 2 * h, 2 * w)
         x = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name="conv")(x)
         return jnp.where(x >= 0, x, prelu_alpha * x)
@@ -176,6 +260,17 @@ class PSPNet(nn.Module):
     log_softmax_final: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # With `choose`, evaluate the final upsample stage only at the chosen
+    # pixels (sparse_upsample_conv_prelu) — exact, skips the full-res
+    # 64-channel map. MEASURED SLOWER end-to-end on v5e (892 vs 2167 f/s,
+    # batch 64 bf16): the 36-tap gathers lose far more than the skipped
+    # dense conv saves — XLA's conv pipeline + one gather wins. Kept as an
+    # opt-in reference implementation (exactness pinned in test_models).
+    sparse_decode: bool = False
+    # Phase-decomposed upsample+conv stages (ops/phase_upconv.py): exact,
+    # never materializes the 2x maps; up_3 gathers chosen pixels straight
+    # from the low-res phase grid (no depth-to-space).
+    phase_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, choose=None):
@@ -184,18 +279,33 @@ class PSPNet(nn.Module):
                       dtype=self.dtype, name="psp")(f)
         p = nn.Dropout(0.3, deterministic=not train, name="drop_1")(p)
         p = PSPUpsample(256, dtype=self.dtype, use_pallas=self.use_pallas,
-                        name="up_1")(p)
+                        use_phase=self.phase_upsample, name="up_1")(p)
         p = nn.Dropout(0.15, deterministic=not train, name="drop_2a")(p)
         p = PSPUpsample(64, dtype=self.dtype, use_pallas=self.use_pallas,
-                        name="up_2")(p)
+                        use_phase=self.phase_upsample, name="up_2")(p)
         p = nn.Dropout(0.15, deterministic=not train, name="drop_2b")(p)
-        p = PSPUpsample(64, dtype=self.dtype, use_pallas=self.use_pallas,
-                        name="up_3")(p)
-        if choose is not None:
-            b, h, w, c = p.shape
-            p = jnp.take_along_axis(p.reshape(b, h * w, c),
-                                    choose[..., None], axis=1)
-            p = p[:, :, None, :]  # (B, N, 1, 64): 1x1 conv as per-row dense
+        if choose is not None and self.sparse_decode:
+            kernel, bias, alpha = _UpsampleParams(
+                out_channels=64, in_features=p.shape[-1], name="up_3")()
+            p = sparse_upsample_conv_prelu(
+                p, kernel.astype(self.dtype), bias, alpha, choose)
+            p = p[:, :, None, :]  # (B, N, 1, 64)
+        elif choose is not None and self.phase_upsample:
+            from plr2_tpu.ops.phase_upconv import phase_upconv3x3_prelu_gather
+
+            kernel, bias, alpha = _UpsampleParams(
+                out_channels=64, in_features=p.shape[-1], name="up_3")()
+            p = phase_upconv3x3_prelu_gather(
+                p.astype(self.dtype), kernel, bias, alpha, choose)
+            p = p[:, :, None, :]  # (B, N, 1, 64)
+        else:
+            p = PSPUpsample(64, dtype=self.dtype, use_pallas=self.use_pallas,
+                            use_phase=self.phase_upsample, name="up_3")(p)
+            if choose is not None:
+                b, h, w, c = p.shape
+                p = jnp.take_along_axis(p.reshape(b, h * w, c),
+                                        choose[..., None], axis=1)
+                p = p[:, :, None, :]  # (B, N, 1, 64): 1x1 conv per-row dense
         p = nn.Conv(self.emb_dim, (1, 1), dtype=self.dtype, name="final")(p)
         if self.log_softmax_final:
             p = jax.nn.log_softmax(p, axis=-1)

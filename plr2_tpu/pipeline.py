@@ -29,12 +29,14 @@ class DenseFusionPipeline:
     """Bundles PoseNet + PoseRefineNet apply functions into jitted steps."""
 
     def __init__(self, num_points: int, num_objects: int, emb_dim: int = 32,
-                 dtype: Any = jnp.float32, use_pallas: bool = False):
+                 dtype: Any = jnp.float32, use_pallas: bool = False,
+                 phase_upsample: bool = False):
         self.num_points = num_points
         self.num_objects = num_objects
         self.posenet = PoseNet(num_points=num_points, num_objects=num_objects,
                                emb_dim=emb_dim, dtype=dtype,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas,
+                               phase_upsample=phase_upsample)
         self.refiner = PoseRefineNet(num_points=num_points,
                                      num_objects=num_objects, dtype=dtype)
 

@@ -57,7 +57,8 @@ class Trainer:
         self.pipe = pipe or DenseFusionPipeline(
             num_points=config.model.num_points,
             num_objects=config.model.num_objects,
-            use_pallas=config.model.use_pallas_model)
+            use_pallas=config.model.use_pallas_model,
+            phase_upsample=config.model.phase_upsample)
         self.sym_list = tuple(config.dataset.sym_list)
         # Routed to ops.chamfer_min_distance, whose dispatcher picks the
         # Pallas ADD-S kernel only where it measures faster than the

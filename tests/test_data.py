@@ -211,3 +211,100 @@ def test_posecnn_results_loader(tmp_path):
     out1 = masks(np.zeros((480, 640, 3), np.uint8))  # frame 1
     np.testing.assert_array_equal(out0, labels0)
     np.testing.assert_array_equal(out1, labels1)
+
+
+# ---------- ColorJitter (torchvision float-tensor semantics) ----------
+
+def _np_rgb_to_grayscale(x):
+    return (x * np.array([0.2989, 0.587, 0.114])).sum(-1, keepdims=True)
+
+
+def _np_blend(a, b, r):
+    return np.clip(r * a + (1.0 - r) * b, 0.0, 1.0)
+
+
+def _np_adjust(x, op, f):
+    """Independent NumPy transcription of torchvision functional-tensor
+    adjust_{brightness,contrast,saturation,hue} (colorsys-based hue)."""
+    import colorsys
+
+    if op == 0:
+        return _np_blend(x, np.zeros_like(x), f)
+    if op == 1:
+        return _np_blend(x, _np_rgb_to_grayscale(x).mean(), f)
+    if op == 2:
+        return _np_blend(x, _np_rgb_to_grayscale(x), f)
+    out = np.empty_like(x)
+    for i in range(x.shape[0]):
+        for j in range(x.shape[1]):
+            h, s, v = colorsys.rgb_to_hsv(*np.clip(x[i, j], 0, 1))
+            out[i, j] = colorsys.hsv_to_rgb((h + f) % 1.0, s, v)
+    return out
+
+
+def test_color_jitter_ops_match_numpy_oracle(rng):
+    from plr2_tpu.data.preprocess import (adjust_brightness, adjust_contrast,
+                                          adjust_saturation, adjust_hue)
+
+    x = rng.random((7, 9, 3)).astype(np.float32)
+    # include exact grays and saturated pixels (HSV branch edges)
+    x[0, 0] = 0.5
+    x[0, 1] = [1.0, 0.0, 0.0]
+    x[0, 2] = [0.0, 1.0, 0.0]
+    x[0, 3] = [0.0, 0.0, 1.0]
+    x[0, 4] = [1.0, 1.0, 0.0]
+    x[0, 5] = 0.0
+    x[0, 6] = 1.0
+    ops = (adjust_brightness, adjust_contrast, adjust_saturation, adjust_hue)
+    for op_id, factor in [(0, 1.17), (0, 0.83), (1, 1.2), (1, 0.8),
+                          (2, 1.2), (2, 0.8), (3, 0.05), (3, -0.05)]:
+        got = np.asarray(ops[op_id](jnp.asarray(x), factor))
+        want = _np_adjust(x, op_id, factor)
+        np.testing.assert_allclose(got, want, atol=1e-5,
+                                   err_msg=f"op {op_id} factor {factor}")
+
+
+def test_color_jitter_order_is_random_permutation(rng):
+    """Op application order must vary per key (torchvision randperm(4));
+    verify by checking which op ran first via its distinct fingerprint."""
+    from plr2_tpu.data.preprocess import apply_jitter_ops
+
+    x = jnp.asarray(rng.random((6, 6, 3)).astype(np.float32))
+    factors = jnp.asarray([1.2, 0.8, 1.2, 0.04])
+    apply_jit = jax.jit(apply_jitter_ops)  # one compile, traced order
+
+    import itertools
+    perms = list(itertools.permutations(range(4)))
+    outs = {p: np.asarray(apply_jit(x, factors, jnp.asarray(p, jnp.int32)))
+            for p in perms}
+    # the 24 orders give distinct results (ops do not commute)
+    flat = [tuple(np.round(v.ravel()[:8], 6)) for v in outs.values()]
+    assert len(set(flat)) == len(outs)
+
+    from plr2_tpu.data.preprocess import color_jitter
+    jitter_jit = jax.jit(color_jitter)
+    seen = set()
+    for seed in range(16):
+        got = np.asarray(jitter_jit(x, jax.random.key(seed)))
+        # match against re-running with every fixed order + same factors
+        kperm, kb, kc, ks, kh = jax.random.split(jax.random.key(seed), 5)
+        f = jnp.stack([
+            jax.random.uniform(kb, (), minval=0.8, maxval=1.2),
+            jax.random.uniform(kc, (), minval=0.8, maxval=1.2),
+            jax.random.uniform(ks, (), minval=0.8, maxval=1.2),
+            jax.random.uniform(kh, (), minval=-0.05, maxval=0.05),
+        ])
+        for perm in perms:
+            ref = np.asarray(apply_jit(x, f, jnp.asarray(perm, jnp.int32)))
+            if np.allclose(got, ref, atol=1e-7):
+                seen.add(perm)
+                break
+    assert len(seen) >= 4, f"only orders {seen} observed in 16 draws"
+
+
+def test_adjust_hue_round_trip(rng):
+    from plr2_tpu.data.preprocess import adjust_hue
+
+    x = jnp.asarray(rng.random((5, 5, 3)).astype(np.float32))
+    back = adjust_hue(adjust_hue(x, 0.13), -0.13)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)

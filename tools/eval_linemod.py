@@ -38,7 +38,8 @@ def main():
     cfg = get_preset("linemod_train")
     pipe = DenseFusionPipeline(num_points=cfg.model.num_points,
                                num_objects=cfg.model.num_objects,
-                               use_pallas=cfg.model.use_pallas_model)
+                               use_pallas=cfg.model.use_pallas_model,
+                               phase_upsample=cfg.model.phase_upsample)
     trainer = Trainer(cfg, pipe)
     state = trainer.init_state(jax.random.key(0))
     if args.model:
