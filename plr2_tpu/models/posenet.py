@@ -132,17 +132,8 @@ class PoseNet(nn.Module):
             return fused_mlp_head(x2d, tuple(params), interpret).reshape(
                 b, n, self.num_objects * out_dim)
 
-        def head(out_dim: int, tag: str) -> jnp.ndarray:
-            if self.use_pallas:
-                h = head_pallas(out_dim, tag)
-            else:
-                h = feat
-                for f, i in ((640, 1), (256, 2), (128, 3)):
-                    h = nn.relu(nn.Dense(f, dtype=self.dtype,
-                                         name=f"conv{i}_{tag}")(h))
-                h = nn.Dense(self.num_objects * out_dim, dtype=self.dtype,
-                             name=f"conv4_{tag}")(h)
-            # (B, N, num_obj, out_dim) -> select the query object's rows
+        def select_obj(h, out_dim: int) -> jnp.ndarray:
+            # (B, N, num_obj * out_dim) -> the query object's rows
             b, n = h.shape[0], h.shape[1]
             h = h.reshape(b, n, self.num_objects, out_dim)
             sel = obj[:, None, None, None]
@@ -150,9 +141,48 @@ class PoseNet(nn.Module):
                 h, jnp.broadcast_to(sel, (b, n, 1, out_dim)), axis=2
             )[:, :, 0, :]
 
-        pred_r = head(4, "r")  # (B, N, 4), unnormalized wxyz
-        pred_t = head(3, "t")  # (B, N, 3)
-        pred_c = jax.nn.sigmoid(head(1, "c"))  # (B, N, 1)
+        def head_xla(out_dim: int, tag: str, h1) -> jnp.ndarray:
+            h = h1
+            for f, i in ((256, 2), (128, 3)):
+                h = nn.relu(nn.Dense(f, dtype=self.dtype,
+                                     name=f"conv{i}_{tag}")(h))
+            # the query-object selection commutes with the final matmul:
+            # gather the object's weight COLUMNS (tiny) and run a batched
+            # einsum, instead of computing all num_obj outputs and
+            # gathering rows after — the post-matmul take_along_axis on
+            # (B, N, num_obj, out_dim) measured ~14 ms at batch 128 on
+            # v5e (trailing dims of 4/3/1 tile terribly), 3x the cost of
+            # the entire matmul ladder (tools/bench_heads.py)
+            k, bias = _DenseParams(
+                features=self.num_objects * out_dim, in_features=128,
+                name=f"conv4_{tag}")()
+            k = k.astype(self.dtype).reshape(128, self.num_objects, out_dim)
+            ksel = jnp.take(k, obj, axis=1).transpose(1, 0, 2)  # (B,128,od)
+            bsel = bias.astype(self.dtype).reshape(
+                self.num_objects, out_dim)[obj]  # (B, od)
+            return jnp.einsum("bnk,bko->bno", h, ksel) + bsel[:, None, :]
+
+        if self.use_pallas:
+            pred_r = select_obj(head_pallas(4, "r"), 4)
+            pred_t = select_obj(head_pallas(3, "t"), 3)
+            pred_c = select_obj(head_pallas(1, "c"), 1)
+        else:
+            # level-1: the three 1408->640 matmuls share `feat`; apply
+            # them as ONE 1408->1920 matmul (kernels concatenated at
+            # apply time — exact per-column math, identical param tree,
+            # feat is read from HBM once instead of three times)
+            l1 = []
+            for tag in ("r", "t", "c"):
+                k, bias = _DenseParams(features=640, in_features=feat.shape[-1],
+                                       name=f"conv1_{tag}")()
+                l1.append((k.astype(self.dtype), bias.astype(self.dtype)))
+            kcat = jnp.concatenate([k for k, _ in l1], axis=1)
+            bcat = jnp.concatenate([b_ for _, b_ in l1], axis=0)
+            h1 = nn.relu(feat @ kcat + bcat)  # (B, N, 1920)
+            pred_r = head_xla(4, "r", h1[..., 0:640])
+            pred_t = head_xla(3, "t", h1[..., 640:1280])
+            pred_c = head_xla(1, "c", h1[..., 1280:1920])
+        pred_c = jax.nn.sigmoid(pred_c)
         return pred_r, pred_t, pred_c, emb
 
 

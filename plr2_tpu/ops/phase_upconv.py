@@ -125,11 +125,14 @@ def phase_upconv3x3_prelu_gather(x, kernel, bias, prelu_alpha, choose):
     big_w = 2 * w
     r = (choose // big_w).astype(jnp.int32)
     c = (choose % big_w).astype(jnp.int32)
-    # flat index into (h, 2, w, 2) == output (2h, 2w) layout of the grid
-    # grid axis order is (h, w, 2, 2): flat = ((r//2 * w) + c//2) * 4
-    #                                         + (r%2) * 2 + (c%2)
-    flat = ((r // 2) * w + (c // 2)) * 4 + (r % 2) * 2 + (c % 2)
-    yflat = y.reshape(b, h * w * 4, cout)
-    g = jnp.take_along_axis(yflat, flat[..., None], axis=1)  # (B, N, C)
+    # gather WIDE rows (all 4 phases = 4C channels) at the low-res pixel,
+    # then contract the phase with a one-hot — rows of C=64 are half a
+    # lane tile and gather ~15% slower (tools/bench_gather.py)
+    low = (r // 2) * w + (c // 2)
+    phase = (r % 2) * 2 + (c % 2)
+    ywide = y.reshape(b, h * w, 4 * cout)
+    g = jnp.take_along_axis(ywide, low[..., None], axis=1)  # (B, N, 4C)
+    onehot = jax.nn.one_hot(phase, 4, dtype=y.dtype)  # (B, N, 4)
+    g = jnp.einsum("bnpc,bnp->bnc", g.reshape(b, -1, 4, cout), onehot)
     g = g + bias
     return jnp.where(g >= 0, g, prelu_alpha * g)
