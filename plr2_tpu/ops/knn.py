@@ -19,18 +19,22 @@ import jax
 import jax.numpy as jnp
 
 
-def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def pairwise_sq_dist(a: jnp.ndarray, b: jnp.ndarray,
+                     precision: str = "highest") -> jnp.ndarray:
     """(..., P, 3) x (..., M, 3) -> (..., P, M) squared euclidean distances.
 
     Expressed MXU-style: |a|^2 + |b|^2 - 2 a.b, the inner product being a
     batched matmul.
+
+    precision: "highest" (6-pass, default — the TPU bf16 single-pass
+    matmul is far too coarse for metric distances and this form already
+    cancels) or "high" (3-pass bf16, ~f32 product quality at half the MXU
+    passes — safe when the result only drives argmin SELECTION and the
+    distance is recomputed exactly from the selected coordinates).
     """
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (..., P, 1)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)  # (..., M, 1)
-    # precision="highest": the TPU default bf16 matmul is far too coarse
-    # for metric distances, and this form already cancels; keep the
-    # products exact (the Pallas kernel avoids the cancellation entirely)
-    ab = jnp.matmul(a, jnp.swapaxes(b, -1, -2), precision="highest")
+    ab = jnp.matmul(a, jnp.swapaxes(b, -1, -2), precision=precision)
     d2 = a2 - 2.0 * ab + jnp.swapaxes(b2, -1, -2)
     return jnp.maximum(d2, 0.0)
 
@@ -46,34 +50,73 @@ def safe_norm(diff: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.sqrt(jnp.where(positive, s, 1.0)) * positive
 
 
-def nn_distance_xla(pred: jnp.ndarray, target: jnp.ndarray,
+def _nn_matched_xla(pred: jnp.ndarray, target: jnp.ndarray,
                     chunk: int = 128) -> jnp.ndarray:
+    """Nearest-target coordinates for each pred point (no autodiff).
+
+    pred: (H, M, 3); target: (M2, 3). Returns matched (H, M, 3), chunked
+    over hypotheses to bound the live pairwise matrix at chunk*M*M2."""
+    h = pred.shape[0]
+
+    def block_match(block):
+        idx = jnp.argmin(
+            pairwise_sq_dist(block, target[None], precision="high"), axis=-1)
+        # matched = onehot(idx) @ target instead of jnp.take: a gather of
+        # millions of 12-byte rows is descriptor-bound on TPU (the
+        # tiny-trailing-dim gather pathology, see CLAUDE.md); the one-hot
+        # contraction is MXU work XLA can fuse. HIGHEST precision keeps
+        # the (single-nonzero) products exact.
+        onehot = jax.nn.one_hot(idx, target.shape[0], dtype=jnp.float32)
+        return jnp.matmul(onehot, target, precision="highest")
+
+    if h <= chunk:
+        return block_match(pred)
+    pad = (-h) % chunk
+    pred_p = jnp.pad(pred, ((0, pad), (0, 0), (0, 0)))
+    blocks = pred_p.reshape(-1, chunk, *pred.shape[1:])
+    out = jax.lax.map(block_match, blocks)
+    return out.reshape(-1, pred.shape[1], 3)[:h]
+
+
+@jax.custom_vjp
+def nn_distance_xla(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """min_k ||pred_j - target_k|| for each pred point.
 
     pred: (H, M, 3) per-hypothesis transformed model points;
     target: (M2, 3) shared target cloud. Returns (H, M).
-    Chunked over hypotheses to bound the live pairwise matrix at
-    chunk * M * M2 floats.
 
     Reference-faithful formulation: the pairwise matrix only selects the
     argmin index; the returned distance is the norm of the actual
     difference to the gathered match (exact — no cancellation — and with
     the gather-through-argmin gradient).
+
+    custom_vjp: the backward is the closed form d||p - t*||/dp =
+    (p - t*) / d (zero at d == 0, safe_norm's convention; t* held
+    constant, matching the reference's KNN-gather backward and the
+    previous stop_gradient formulation). Without it, autodiff hauls the
+    chunked argmin scan into the residual graph — measured 208 ms for
+    the batch-32 stage-1 loss step vs ~90 ms forward-only (v5e).
     """
-    h = pred.shape[0]
+    matched = _nn_matched_xla(pred, target)
+    return safe_norm(pred - matched)
 
-    def block_dist(block):
-        idx = jnp.argmin(pairwise_sq_dist(block, target[None]), axis=-1)
-        matched = jnp.take(jax.lax.stop_gradient(target), idx, axis=0)
-        return safe_norm(block - matched)
 
-    if h <= chunk:
-        return block_dist(pred)
-    pad = (-h) % chunk
-    pred_p = jnp.pad(pred, ((0, pad), (0, 0), (0, 0)))
-    blocks = pred_p.reshape(-1, chunk, *pred.shape[1:])
-    out = jax.lax.map(block_dist, blocks)
-    return out.reshape(-1, pred.shape[1])[:h]
+def _nn_distance_fwd(pred, target):
+    matched = _nn_matched_xla(pred, target)
+    diff = pred - matched
+    dis = safe_norm(diff)
+    return dis, (diff, dis, target.shape)
+
+
+def _nn_distance_bwd(res, g):
+    diff, dis, target_shape = res
+    scale = jnp.where(dis > 0, g / jnp.where(dis > 0, dis, 1.0), 0.0)
+    # target receives no gradient (GT constant; the forward also held it
+    # constant through the argmin gather)
+    return scale[..., None] * diff, jnp.zeros(target_shape, diff.dtype)
+
+
+nn_distance_xla.defvjp(_nn_distance_fwd, _nn_distance_bwd)
 
 
 def nn_index(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

@@ -133,8 +133,38 @@ def test_chamfer_chunked_equals_direct(rng):
     pred = jnp.asarray(rng.normal(size=(300, 16, 3)).astype(np.float32))
     target = jnp.asarray(rng.normal(size=(24, 3)).astype(np.float32))
     direct = jnp.sqrt(jnp.min(pairwise_sq_dist(pred, target[None]), axis=-1))
-    chunked = nn_distance_xla(pred, target, chunk=128)
+    chunked = nn_distance_xla(pred, target)  # 300 rows -> 3 chunks of 128
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(direct), atol=1e-5)
+
+
+def test_nn_distance_custom_vjp_matches_autodiff(rng):
+    """The closed-form custom_vjp backward must equal autodiff through the
+    argmin-gather formulation — including exact-coincidence rows (d = 0,
+    zero subgradient) and the chunked path (H > 128)."""
+    pred_np = rng.normal(size=(150, 6, 3)).astype(np.float32)
+    target = jnp.asarray(rng.normal(size=(12, 3)).astype(np.float32))
+    pred_np[0, 0] = np.asarray(target[3])  # exact coincidence -> d == 0
+    pred = jnp.asarray(pred_np)
+    cot = jnp.asarray(rng.normal(size=(150, 6)).astype(np.float32))
+
+    def autodiff_ref(p):
+        def block(bl):
+            idx = jnp.argmin(pairwise_sq_dist(bl, target[None]), axis=-1)
+            matched = jnp.take(jax.lax.stop_gradient(target), idx, axis=0)
+            d = jnp.sum((bl - matched) ** 2, axis=-1)
+            pos = d > 0
+            return jnp.sqrt(jnp.where(pos, d, 1.0)) * pos
+        return jnp.sum(block(p) * cot)
+
+    g_ref = jax.grad(autodiff_ref)(pred)
+    g_new = jax.grad(lambda p: jnp.sum(nn_distance_xla(p, target) * cot))(pred)
+    assert bool(jnp.isfinite(g_new).all())
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=1e-5)
+    # values identical too
+    np.testing.assert_allclose(
+        np.asarray(nn_distance_xla(pred, target)),
+        np.asarray(jnp.sqrt(jnp.min(pairwise_sq_dist(pred, target[None]), -1))),
+        atol=1e-5)
 
 
 def test_nn_index_matches_bruteforce(rng):

@@ -63,7 +63,8 @@ def main():
     from plr2_tpu.pipeline import DenseFusionPipeline
 
     pipe = DenseFusionPipeline(num_points=n_points, num_objects=num_obj)
-    variables = pipe.init(jax.random.key(0), crop_hw=crop, batch=1)
+    variables = pipe.init(jax.random.key(0), crop_hw=crop,
+                          batch=1)["posenet"]
     ks = jax.random.split(jax.random.key(1), 5)
     img = jax.random.normal(ks[0], (batch, crop, crop, 3), jnp.float32)
     points = jax.random.normal(ks[1], (batch, n_points, 3)) * 0.1
