@@ -61,8 +61,11 @@ class ModelConfig:
     # Phase-decomposed PSP upsample stages (ops/phase_upconv.py): exact
     # rewrite of upsample2x+conv3x3 as one low-res conv with 4 phase
     # kernels — no 2x-map HBM round-trips, full MXU tiles for the
-    # 64-channel stages. Benchmarked in bench.py (on by default there).
-    phase_upsample: bool = False
+    # 64-channel stages. Default ON: measured faster for inference
+    # (+6% e2e at batch 128) AND training (114.6 vs 119.4 ms stage-1
+    # step), and f32-bit-identical on the held-out eval
+    # (tools/eval_precision_modes.py).
+    phase_upsample: bool = True
     dtype: str = "float32"  # compute dtype for the CNN trunk ("bfloat16" ok)
 
 

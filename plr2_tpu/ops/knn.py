@@ -130,16 +130,17 @@ def chamfer_min_distance(pred: jnp.ndarray, target: jnp.ndarray,
                          use_pallas: bool = False) -> jnp.ndarray:
     """Dispatcher: (H, M, 3), (M2, 3) -> (H, M) nearest-target distances.
 
-    Measured on v5e (chained on-device loops): the chunked-matmul XLA path
-    wins for small target clouds (2.7 vs 6.9 ms at M2=500 — it stays
-    HBM-bandwidth-bound), the VMEM-resident Pallas kernel wins once the
-    pairwise matrix outgrows that (1.4x at M2=2048, 9.3x at M2=8192). With
-    use_pallas=True the dispatch picks by target size; both paths are
-    exact and share the gather-through-argmin gradient.
+    Measured on v5e (chained on-device loops, AFTER the round-2 XLA-path
+    rewrites — one-hot matched coords, custom VJP, "high"-precision
+    selection): the chunked XLA path now wins at EVERY measured target
+    size (2.1 vs 6.8 ms at M2=500, 9.7 vs 14.4 at 2048, 40 vs 47 at
+    8192; the round-1 Pallas wins at >1024 were against the pre-rewrite
+    XLA path with its jnp.take row gather). `use_pallas=True` therefore
+    keeps size-aware dispatch enabled but currently selects XLA
+    everywhere; the VMEM-resident kernel (pallas_knn.py, VPU-pass-bound)
+    remains the reference implementation and the escape hatch if the d2
+    materialization ever exceeds HBM. Both paths are exact and share the
+    gather-through-argmin gradient.
     """
-    if use_pallas and target.shape[0] > 1024:
-        from plr2_tpu.ops.pallas_knn import nn_distance_pallas
-        # Mosaic kernels need a TPU; interpret on CPU (tests)
-        interpret = jax.default_backend() == "cpu"
-        return nn_distance_pallas(pred, target, interpret=interpret)
+    del use_pallas  # dispatch decision is measurement-driven (see above)
     return nn_distance_xla(pred, target)

@@ -80,12 +80,59 @@ def nn_argmin_pallas(pred_flat: jnp.ndarray, target: jnp.ndarray,
     return idx[:p, 0]
 
 
+def _match_coords_kernel(a_ref, bt_ref, out_ref):
+    """One block: a (BP, 3), bt (3, M2p) -> first-argmin target coords
+    (BP, 3), selected in-VMEM via a one-hot MXU contraction — the indices
+    never leave the kernel, so no XLA-side row gather exists at all."""
+    a = a_ref[:]
+    bt = bt_ref[:]
+    d2 = jnp.zeros((a.shape[0], bt.shape[1]), jnp.float32)
+    for k in range(3):
+        diff = a[:, k:k + 1] - bt[k:k + 1, :]
+        d2 = d2 + diff * diff
+    dmin = jnp.min(d2, axis=1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    big = jnp.iinfo(jnp.int32).max
+    amin = jnp.min(jnp.where(d2 <= dmin, col, big), axis=1, keepdims=True)
+    onehot = (col == amin).astype(jnp.float32)  # (BP, M2p), one 1 per row
+    # matched = onehot @ bt^T; single nonzero per row and HIGHEST keeps
+    # the coordinate exact (bf16-pass splits reconstruct f32)
+    out_ref[:] = jax.lax.dot_general(
+        onehot, bt, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def nn_match_pallas(pred_flat: jnp.ndarray, target: jnp.ndarray,
                     interpret: bool = False) -> jnp.ndarray:
-    """(P, 3) query points, (M2, 3) targets -> (P, 3) matched target coords
-    (exact: XLA gathers the original rows through the kernel's indices)."""
-    idx = nn_argmin_pallas(pred_flat, target, interpret=interpret)
-    return jnp.take(target, idx, axis=0)
+    """(P, 3) query points, (M2, 3) targets -> (P, 3) matched target
+    coords, entirely in-kernel (first-argmin tie-break)."""
+    p = pred_flat.shape[0]
+    m2 = target.shape[0]
+    m2p = -(-m2 // 128) * 128
+    rows = min(_BLOCK_ROWS, max(128, (4 * 1024 * 1024 // (m2p * 4)) // 128 * 128))
+    pp = -(-p // rows) * rows
+
+    a = jnp.pad(pred_flat, ((0, pp - p), (0, 0)))
+    bt = jnp.pad(target, ((0, m2p - m2), (0, 0)),
+                 constant_values=_SENTINEL).T  # (3, M2p)
+
+    matched = pl.pallas_call(
+        _match_coords_kernel,
+        out_shape=jax.ShapeDtypeStruct((pp, 3), jnp.float32),
+        grid=(pp // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, m2p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a.astype(jnp.float32), bt.astype(jnp.float32))
+    return matched[:p]
 
 
 def nn_distance_pallas(pred: jnp.ndarray, target: jnp.ndarray,

@@ -30,13 +30,15 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 32
     refine = "--refine" in sys.argv
+    phase = "--phase" in sys.argv
     inner, reps = 8, 3
     crop, n_points, num_objects = 160, 1000, 21
 
     from plr2_tpu.parallel import make_train_step
     from plr2_tpu.pipeline import DenseFusionPipeline
 
-    pipe = DenseFusionPipeline(num_points=n_points, num_objects=num_objects)
+    pipe = DenseFusionPipeline(num_points=n_points, num_objects=num_objects,
+                               phase_upsample=phase)
     variables = pipe.init(jax.random.key(0), crop_hw=crop, batch=1)
     init_fn, step = make_train_step(
         pipe, sym_list=(0, 3), w=0.015, lr=1e-4,
@@ -88,7 +90,7 @@ def main():
         np.asarray(loop(variables, opt_state, batch_data))
     total = (time.perf_counter() - t0) / reps
     per_step = max(total - overhead, 1e-9) / inner
-    print(f"train step (batch {batch}, refine={refine}): "
+    print(f"train step (batch {batch}, refine={refine}, phase={phase}): "
           f"{per_step * 1e3:.2f} ms/step, "
           f"{batch / per_step:.1f} samples/s", flush=True)
 
