@@ -106,18 +106,52 @@ def finish_sample(img_u8, points, choose, model_points, target_r, target_t,
                   model_points=model_points, idx=idx)
 
 
+# --- process-worker plumbing (module level so 'spawn' can pickle it) ---
+_PROC_STATE: Dict = {}
+
+
+def _proc_init(dataset, num_points: int, seed: int, raw_mode: bool):
+    _PROC_STATE.update(dataset=dataset, num_points=num_points, seed=seed,
+                       raw_mode=raw_mode)
+
+
+def _proc_work(i: int) -> Dict:
+    ds = _PROC_STATE["dataset"]
+    raw = ds.get_raw(int(i))
+    prep_fn = host_prepare_raw if _PROC_STATE["raw_mode"] else host_prepare
+    s = prep_fn(raw, _PROC_STATE["num_points"],
+                seed=_PROC_STATE["seed"] * 100003 + int(i))
+    if _PROC_STATE["raw_mode"]:
+        s["index"] = int(i)
+    return s
+
+
 class PrefetchLoader:
-    """Iterate prepared samples with `num_workers` background threads.
+    """Iterate prepared samples with `num_workers` background workers.
 
     `raw_mode=False` (default): workers yield host_prepare dicts (fully
     normalized, no augmentation). `raw_mode=True`: workers yield
     host_prepare_raw dicts (uint8 crop + pose, for device-side
     augmentation via finish_sample); each dict carries its dataset index
-    under "index"."""
+    under "index".
+
+    `use_processes=True` runs workers as SPAWNED PROCESSES (the
+    reference's torch-DataLoader model). Measured on the synthetic set
+    (precomputed frames; ~1 ms/sample native prep): sequential 922
+    samples/s, threads scale NEGATIVELY (GIL on the Python parts of
+    get_raw: 637/s at 16 workers), processes pay pipe+pickle (~455-490/s)
+    — for cheap samples, sequential wins and the worker machinery only
+    pays off when get_raw does real decode work (PNG/PLY IO on real
+    datasets). The process pool is created lazily and reused across
+    epochs (spawn pays a one-time interpreter+import cost per worker);
+    the dataset must be picklable; spawn children re-import __main__, so
+    callers must be import-safe scripts. Determinism is index-derived in
+    every mode and the three modes are sample-for-sample identical
+    (pinned in tests/test_native.py)."""
 
     def __init__(self, dataset, num_points: int, num_workers: int = 4,
                  prefetch: int = 16, shuffle: bool = False, seed: int = 0,
-                 raw_mode: bool = False):
+                 raw_mode: bool = False, use_processes: bool = False):
         self.dataset = dataset
         self.num_points = num_points
         self.num_workers = max(1, num_workers)
@@ -125,11 +159,47 @@ class PrefetchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.raw_mode = raw_mode
+        self.use_processes = use_processes
+        self._pool = None
 
     def __len__(self) -> int:
         return len(self.dataset)
 
+    def _order(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(order)
+        return order
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):  # best-effort pool cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _iter_processes(self) -> Iterator[Dict]:
+        import multiprocessing as mp
+
+        if self._pool is None:
+            ctx = mp.get_context("spawn")  # fork is unsafe with live JAX
+            self._pool = ctx.Pool(
+                self.num_workers, initializer=_proc_init,
+                initargs=(self.dataset, self.num_points, self.seed,
+                          self.raw_mode))
+        # imap preserves submission order -> deterministic delivery
+        for s in self._pool.imap(_proc_work, [int(i) for i in self._order()],
+                                 chunksize=4):
+            yield s
+
     def __iter__(self) -> Iterator[Dict]:
+        if self.use_processes:
+            yield from self._iter_processes()
+            return
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed).shuffle(order)

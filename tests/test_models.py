@@ -261,3 +261,24 @@ def test_phase_upsample_matches_dense_path(rng):
                     jax.tree_util.tree_leaves(gd)):
         assert bool(jnp.isfinite(a).all())
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_phase_upconv_non_square_shapes(rng):
+    """Phase-decomposed upconv must stay exact on non-square maps and
+    odd channel counts (border corrections index rows and cols
+    separately)."""
+    from plr2_tpu.ops.phase_upconv import phase_upconv3x3_prelu
+    from plr2_tpu.models.pspnet import bilinear_resize
+
+    for (h, w, cin, cout) in [(5, 9, 4, 3), (12, 6, 8, 16), (3, 3, 2, 5)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        up = bilinear_resize(x, 2 * h, 2 * w)
+        ref = jax.lax.conv_general_dilated(
+            up, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        ref = jnp.where(ref >= 0, ref, 0.25 * ref)
+        got = phase_upconv3x3_prelu(x, k, b, jnp.float32(0.25))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5, err_msg=f"{h}x{w} {cin}->{cout}")

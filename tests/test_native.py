@@ -185,3 +185,19 @@ def test_trainer_with_workers_smoke():
     assert np.isfinite(info["train_loss"])
     dis = tr.test_epoch(state, ds, jax.random.key(2))
     assert np.isfinite(dis)
+
+
+def test_process_prefetch_matches_threaded():
+    """Process-mode PrefetchLoader (spawned workers, the reference's
+    DataLoader model) must yield sample-for-sample the same stream as the
+    threaded mode. Run via subprocess: spawn re-imports __main__, which
+    must be an import-safe script rather than the pytest entry."""
+    import subprocess
+    import sys
+    import os
+
+    runner = os.path.join(os.path.dirname(__file__), "proc_loader_runner.py")
+    out = subprocess.run([sys.executable, runner], capture_output=True,
+                         text=True, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PROC_LOADER_OK" in out.stdout
