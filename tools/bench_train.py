@@ -31,6 +31,7 @@ def main():
     batch = int(args[0]) if args else 32
     refine = "--refine" in sys.argv
     phase = "--phase" in sys.argv
+    remat = "--remat" in sys.argv
     inner, reps = 8, 3
     crop, n_points, num_objects = 160, 1000, 21
 
@@ -43,7 +44,7 @@ def main():
     init_fn, step = make_train_step(
         pipe, sym_list=(0, 3), w=0.015, lr=1e-4,
         refine_iterations=2 if refine else 0,
-        use_pallas=jax.default_backend() == "tpu")
+        use_pallas=jax.default_backend() == "tpu", remat=remat)
     opt_state = init_fn(variables)
 
     ks = jax.random.split(jax.random.key(1), 5)
@@ -90,7 +91,7 @@ def main():
         np.asarray(loop(variables, opt_state, batch_data))
     total = (time.perf_counter() - t0) / reps
     per_step = max(total - overhead, 1e-9) / inner
-    print(f"train step (batch {batch}, refine={refine}, phase={phase}): "
+    print(f"train step (batch {batch}, refine={refine}, phase={phase}, remat={remat}): "
           f"{per_step * 1e3:.2f} ms/step, "
           f"{batch / per_step:.1f} samples/s", flush=True)
 
