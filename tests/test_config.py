@@ -70,3 +70,30 @@ def test_checkpoint_tags_are_independent(tmp_path):
     assert ckpt.restore("best")["meta"]["epoch"] == 3
     assert ckpt.restore("last")["meta"]["epoch"] == 7
     assert ckpt.restore("missing") is None
+
+
+def test_yaml_configs_roundtrip_new_model_fields(tmp_path):
+    """Every shipped YAML config must load against the current ModelConfig
+    (including fields added after the file was written, e.g.
+    phase_upsample), and explicit overrides must stick through a
+    save/load round-trip."""
+    import dataclasses
+    import glob
+    import os
+
+    from plr2_tpu.config_io import load_config, save_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "configs", "*.yml")))
+    assert files, "no shipped configs found"
+    for f in files:
+        cfg = load_config(f)
+        assert isinstance(cfg.model.phase_upsample, bool)
+
+    cfg = load_config(files[0])
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, phase_upsample=False))
+    out = tmp_path / "override.yml"
+    save_config(cfg, str(out))
+    back = load_config(str(out))
+    assert back.model.phase_upsample is False
