@@ -5,7 +5,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from plr2_tpu.ops.pallas_knn import nn_match_pallas, nn_distance_pallas
+from plr2_tpu.ops.pallas_knn import (nn_match_pallas, nn_match_pallas_mxu,
+                                     nn_distance_pallas)
 from plr2_tpu.ops.pallas_fusion import fused_mlp_head, head_params_from_tree
 from plr2_tpu.ops.knn import nn_distance_xla
 
@@ -18,6 +19,25 @@ def test_nn_match_pallas_equals_bruteforce(rng):
     d2 = ((pred[:, None, :] - target[None]) ** 2).sum(-1)
     expect = target[d2.argmin(-1)]
     np.testing.assert_allclose(matched, expect, atol=1e-5)
+
+
+def test_nn_match_pallas_mxu_equals_bruteforce(rng):
+    # the augmented-product (MXU-d2) variant: same first-argmin contract
+    pred = rng.normal(size=(700, 3)).astype(np.float32) * 0.1
+    target = rng.normal(size=(130, 3)).astype(np.float32) * 0.1
+    matched = np.asarray(nn_match_pallas_mxu(
+        jnp.asarray(pred), jnp.asarray(target), interpret=True))
+    d2 = ((pred[:, None, :] - target[None]) ** 2).sum(-1)
+    expect = target[d2.argmin(-1)]
+    np.testing.assert_allclose(matched, expect, atol=1e-5)
+
+
+def test_nn_match_pallas_mxu_tie_breaks_first(rng):
+    target = np.array([[1.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]], np.float32)
+    pred = np.array([[1.1, 0, 0]], np.float32)
+    matched = np.asarray(nn_match_pallas_mxu(
+        jnp.asarray(pred), jnp.asarray(target), interpret=True))
+    np.testing.assert_allclose(matched[0], [1.0, 0, 0], atol=1e-6)
 
 
 def test_nn_match_pallas_tie_breaks_first(rng):

@@ -63,15 +63,21 @@ def bench_knn():
         d = nn_distance_pallas(pred + carry[0, 0] * 1e-12, target)
         return d
 
+    def body_mxu(i, carry):
+        d = nn_distance_pallas(pred + carry[0, 0] * 1e-12, target, mxu=True)
+        return d
+
     def body_xla(i, carry):
         d = nn_distance_xla(pred + carry[0, 0] * 1e-12, target)
         return d
 
     carry0 = jnp.zeros((h, m))
     t_p = timed_loop(body_pallas, carry0, inner=100)
+    t_m = timed_loop(body_mxu, carry0, inner=100)
     t_x = timed_loop(body_xla, carry0, inner=100)
-    print(f"knn chamfer {h}x{m} vs {m2}: pallas {t_p * 1e3:.2f} ms | "
-          f"xla {t_x * 1e3:.2f} ms | speedup {t_x / t_p:.1f}x")
+    print(f"knn chamfer {h}x{m} vs {m2}: pallas-vpu {t_p * 1e3:.2f} ms | "
+          f"pallas-mxu {t_m * 1e3:.2f} ms | xla {t_x * 1e3:.2f} ms | "
+          f"mxu speedup vs xla {t_x / t_m:.1f}x")
 
 
 def bench_head():
