@@ -50,32 +50,55 @@ def safe_norm(diff: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.sqrt(jnp.where(positive, s, 1.0)) * positive
 
 
-def _nn_matched_xla(pred: jnp.ndarray, target: jnp.ndarray,
-                    chunk: int = 128) -> jnp.ndarray:
-    """Nearest-target coordinates for each pred point (no autodiff).
+def _nn_matched_cm(pred_cm: jnp.ndarray, target: jnp.ndarray,
+                   chunk: int = 65536) -> jnp.ndarray:
+    """Nearest-target coordinates for flattened query points (no autodiff).
 
-    pred: (H, M, 3); target: (M2, 3). Returns matched (H, M, 3), chunked
-    over hypotheses to bound the live pairwise matrix at chunk*M*M2."""
-    h = pred.shape[0]
+    pred_cm: (3, P) COORDINATE-MAJOR queries; target: (M2, 3). Returns
+    matched (3, P), chunked over P to bound the live pairwise matrix at
+    chunk*M2.
 
-    def block_match(block):
-        idx = jnp.argmin(
-            pairwise_sq_dist(block, target[None], precision="high"), axis=-1)
-        # matched = onehot(idx) @ target instead of jnp.take: a gather of
-        # millions of 12-byte rows is descriptor-bound on TPU (the
-        # tiny-trailing-dim gather pathology, see CLAUDE.md); the one-hot
-        # contraction is MXU work XLA can fuse. HIGHEST precision keeps
+    Everything here is deliberately coordinate-major: a (..., big, 3)
+    tensor invites XLA to tile its last two dims onto the (8, 128)
+    vregs — 3 lanes padded to 128, a 43x HBM blow-up that measurably
+    OOMs the stage-1 training step when branch-layout negotiation picks
+    row-major (see losses/add_loss.py `compact`). With (3, big) the
+    minor dims are always large and every layout choice is benign."""
+    p = pred_cm.shape[1]
+    target_cm = target.T.astype(jnp.float32)             # (3, M2)
+    b2 = jnp.sum(target_cm * target_cm, axis=0)          # (M2,)
+
+    def block_match(block):                              # (3, C)
+        a2 = jnp.sum(block * block, axis=0)              # (C,)
+        ab = jnp.einsum("cp,cm->pm", block, target_cm,
+                        precision=jax.lax.Precision.HIGH)
+        d2 = jnp.maximum(a2[:, None] - 2.0 * ab + b2[None, :], 0.0)
+        idx = jnp.argmin(d2, axis=-1)                    # first argmin
+        # matched = target_cm @ onehot^T instead of a row gather: a
+        # gather of millions of 12-byte rows is descriptor-bound on TPU
+        # (the tiny-trailing-dim gather pathology, see CLAUDE.md); the
+        # one-hot contraction is MXU work XLA can fuse. HIGHEST keeps
         # the (single-nonzero) products exact.
         onehot = jax.nn.one_hot(idx, target.shape[0], dtype=jnp.float32)
-        return jnp.matmul(onehot, target, precision="highest")
+        return jnp.einsum("cm,pm->cp", target_cm, onehot,
+                          precision=jax.lax.Precision.HIGHEST)
 
-    if h <= chunk:
-        return block_match(pred)
-    pad = (-h) % chunk
-    pred_p = jnp.pad(pred, ((0, pad), (0, 0), (0, 0)))
-    blocks = pred_p.reshape(-1, chunk, *pred.shape[1:])
-    out = jax.lax.map(block_match, blocks)
-    return out.reshape(-1, pred.shape[1], 3)[:h]
+    if p <= chunk:
+        return block_match(pred_cm)
+    pad = (-p) % chunk
+    pred_p = jnp.pad(pred_cm, ((0, 0), (0, pad)))
+    nb = pred_p.shape[1] // chunk
+
+    # fori_loop + dynamic slices along the (contiguous) point axis instead
+    # of lax.map over a transposed block stack — the (3, nb, C)<->(nb, 3, C)
+    # moveaxis copies are pure HBM traffic
+    def body(i, out):
+        blk = jax.lax.dynamic_slice(pred_p, (0, i * chunk), (3, chunk))
+        return jax.lax.dynamic_update_slice(out, block_match(blk),
+                                            (0, i * chunk))
+
+    out = jax.lax.fori_loop(0, nb, body, jnp.zeros_like(pred_p))
+    return out[:, :p]
 
 
 @jax.custom_vjp
@@ -96,24 +119,34 @@ def nn_distance_xla(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     previous stop_gradient formulation). Without it, autodiff hauls the
     chunked argmin scan into the residual graph — measured 208 ms for
     the batch-32 stage-1 loss step vs ~90 ms forward-only (v5e).
+
+    All (3, H*M)-sized values (including the VJP residual) live
+    coordinate-major so no layout choice can put the 3-sized axis on
+    the 128-lane dimension (see _nn_matched_cm).
     """
-    matched = _nn_matched_xla(pred, target)
-    return safe_norm(pred - matched)
+    dis, _ = _nn_distance_fwd(pred, target)
+    return dis
 
 
 def _nn_distance_fwd(pred, target):
-    matched = _nn_matched_xla(pred, target)
-    diff = pred - matched
-    dis = safe_norm(diff)
-    return dis, (diff, dis, target.shape)
+    h, m, _ = pred.shape
+    p_cm = jnp.moveaxis(pred, -1, 0).reshape(3, h * m)
+    matched_cm = _nn_matched_cm(p_cm, target)
+    diff_cm = p_cm - matched_cm                          # (3, H*M)
+    dis_flat = safe_norm(diff_cm, axis=0)                # (H*M,)
+    return dis_flat.reshape(h, m), (diff_cm, dis_flat, target.shape)
 
 
 def _nn_distance_bwd(res, g):
-    diff, dis, target_shape = res
-    scale = jnp.where(dis > 0, g / jnp.where(dis > 0, dis, 1.0), 0.0)
+    diff_cm, dis_flat, target_shape = res
+    h, m = g.shape
+    gf = g.reshape(h * m)
+    scale = jnp.where(dis_flat > 0,
+                      gf / jnp.where(dis_flat > 0, dis_flat, 1.0), 0.0)
+    cot = jnp.moveaxis((scale[None, :] * diff_cm).reshape(3, h, m), 0, -1)
     # target receives no gradient (GT constant; the forward also held it
     # constant through the argmin gather)
-    return scale[..., None] * diff, jnp.zeros(target_shape, diff.dtype)
+    return cot, jnp.zeros(target_shape, diff_cm.dtype)
 
 
 nn_distance_xla.defvjp(_nn_distance_fwd, _nn_distance_bwd)

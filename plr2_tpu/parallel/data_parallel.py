@@ -24,7 +24,7 @@ from plr2_tpu.pipeline import DenseFusionPipeline
 def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
                     w: float, lr: float, refine_iterations: int = 0,
                     mesh=None, use_pallas: bool = False,
-                    remat: bool = False):
+                    remat: bool = False, sym_slots: int | None = None):
     """Returns (init_opt_state, train_step). train_step signature:
     (variables, opt_state, batch) -> (variables, opt_state, metrics).
 
@@ -33,7 +33,10 @@ def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
     `data` axis and everything else replicated. With `remat`, the PoseNet
     forward is rematerialized in the backward pass (jax.checkpoint) —
     trades ~1/3 more FLOPs for dropping the CNN activation residuals,
-    enabling much larger per-chip batches.
+    enabling much larger per-chip batches. With `sym_slots=K`, mixed
+    batches with at most K symmetric samples run the O(N*M*M2) ADD-S
+    chamfer on K compacted slots only (exact; see pose_loss) — the right
+    setting is a small multiple of batch * sym_fraction of the dataset.
     """
     tx = optax.adam(lr)
     refine_stage = refine_iterations > 0
@@ -59,7 +62,7 @@ def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
         out = pose_loss(pred_r, pred_t, pred_c, batch["target"],
                         batch["model_points"], batch["idx"], batch["points"],
                         w=w, refine=False, sym_list=sym_list,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas, max_sym_slots=sym_slots)
         return out.loss, (mutated["batch_stats"], jnp.mean(out.dis))
 
     def _refiner_loss(refiner_params, pn_variables, batch):

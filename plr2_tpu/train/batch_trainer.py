@@ -57,6 +57,18 @@ class BatchTrainer(Trainer):
         # one compiled step per (stage, lr, w) curriculum point
         self._steps: Dict[Tuple, Tuple] = {}
 
+    def _sym_slots(self) -> Optional[int]:
+        s = self.cfg.train.sym_slots
+        b = self.cfg.train.batch_size
+        if s == -1:
+            # auto: 2x the expected symmetric count under a uniform object
+            # draw, so overflow (-> full-path recompile-free fallback) is
+            # rare but the chamfer still shrinks ~num_obj/(2*n_sym)-fold
+            import math
+            frac = len(self.sym_list) / max(self.cfg.dataset.num_objects, 1)
+            s = min(b, max(1, 2 * math.ceil(b * frac)))
+        return s if 0 < s < b else None
+
     def _get_step(self, state: TrainState):
         key = (state.refine_started, state.lr, state.w)
         if key not in self._steps:
@@ -64,7 +76,8 @@ class BatchTrainer(Trainer):
                 self.pipe, sym_list=self.sym_list, w=state.w, lr=state.lr,
                 refine_iterations=(self.cfg.train.refine_iterations
                                    if state.refine_started else 0),
-                mesh=self.mesh, use_pallas=self.use_pallas)
+                mesh=self.mesh, use_pallas=self.use_pallas,
+                sym_slots=self._sym_slots())
         return self._steps[key]
 
     def _batches(self, dataset, key, seed: int):

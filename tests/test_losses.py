@@ -382,3 +382,54 @@ def test_pose_loss_branch_dispatch_matches_oracle(loss_inputs, idx_vals):
                               points)),
         w=w, refine=False, sym_list=sym).loss)(jnp.asarray(pred_r))
     assert bool(jnp.isfinite(g).all())
+
+
+# ---------------- compacted mixed-batch ADD-S (max_sym_slots) ----------------
+
+
+def _loss_inputs_mixed(rng, b=6, n=12, m=10):
+    return dict(
+        pred_r=jnp.asarray(rng.normal(size=(b, n, 4)).astype(np.float32)),
+        pred_t=jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)) * 0.01,
+        pred_c=jnp.asarray(rng.uniform(0.2, 0.9, size=(b, n, 1)).astype(np.float32)),
+        target=jnp.asarray(rng.normal(size=(b, m, 3)).astype(np.float32)) * 0.05,
+        model_points=jnp.asarray(rng.normal(size=(b, m, 3)).astype(np.float32)) * 0.05,
+        points=jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32)) * 0.05,
+    )
+
+
+@pytest.mark.parametrize("idx_row", [
+    [0, 1, 2, 0, 1, 2],   # 2 sym of 6 (idx 0 is sym) -> compact fires
+    [0, 0, 0, 0, 0, 1],   # 5 sym > 4 slots -> falls back to full mixed
+    [1, 2, 1, 2, 1, 2],   # no sym
+    [0, 0, 0, 0, 0, 0],   # all sym
+])
+def test_pose_loss_sym_slots_matches_full(rng, idx_row):
+    kw = _loss_inputs_mixed(rng)
+    idx = jnp.asarray(idx_row, dtype=jnp.int32)
+    full = pose_loss(idx=idx, w=0.015, refine=False, sym_list=(0,), **kw)
+    comp = pose_loss(idx=idx, w=0.015, refine=False, sym_list=(0,),
+                     max_sym_slots=4, **kw)
+    np.testing.assert_allclose(float(comp.loss), float(full.loss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(comp.dis), np.asarray(full.dis),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(comp.new_points),
+                               np.asarray(full.new_points), rtol=1e-6)
+
+
+def test_pose_loss_sym_slots_gradients_match(rng):
+    kw = _loss_inputs_mixed(rng)
+    idx = jnp.asarray([0, 1, 2, 0, 1, 2], dtype=jnp.int32)
+
+    def f(slots, r, t, c):
+        return pose_loss(pred_r=r, pred_t=t, pred_c=c,
+                         target=kw["target"], model_points=kw["model_points"],
+                         idx=idx, points=kw["points"], w=0.015, refine=False,
+                         sym_list=(0,), max_sym_slots=slots).loss
+
+    args = (kw["pred_r"], kw["pred_t"], kw["pred_c"])
+    g_full = jax.grad(lambda *a: f(None, *a), argnums=(0, 1, 2))(*args)
+    g_comp = jax.grad(lambda *a: f(4, *a), argnums=(0, 1, 2))(*args)
+    for gf, gc in zip(g_full, g_comp):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gf),
+                                   rtol=1e-5, atol=1e-7)

@@ -183,3 +183,48 @@ def test_batch_trainer_single_device_matches_mesh():
     # sharding bugs diverge by far more.
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2.5e-4)
+
+
+def test_sym_slots_step_matches_full_on_mesh():
+    """Compacted mixed-batch ADD-S (sym_slots) under a sharded step: same
+    loss and same updated params as the full path, batch mixed 3-sym/8."""
+    pipe = DenseFusionPipeline(num_points=32, num_objects=4)
+    variables = pipe.init(jax.random.key(0), crop_hw=48, batch=1)
+    batch = _make_batch(8, 32, 16, 48, 4, jax.random.key(1))
+    batch["idx"] = jnp.asarray([1, 0, 1, 2, 3, 1, 0, 2], jnp.int32)  # 3 sym
+
+    mesh = make_mesh()
+    sharded = shard_batch(mesh, batch)
+    outs = []
+    for slots in (None, 4):
+        init_fn, step = make_train_step(pipe, sym_list=(1,), w=0.015,
+                                        lr=1e-4, mesh=mesh, sym_slots=slots)
+        v, o, m = step(variables, init_fn(variables), sharded,
+                       jax.random.key(2))
+        outs.append((float(m["loss"]), v))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    # atol headroom: the compact branch re-transforms its K slots, which
+    # XLA may fuse with different fma grouping -> ulp-level loss diffs
+    # that the Adam normalizer amplifies to ~1e-6 on isolated params
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]["posenet"]["params"]),
+                    jax.tree_util.tree_leaves(outs[1][1]["posenet"]["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_batch_trainer_auto_sym_slots():
+    """sym_slots=-1 sizes the compaction from the dataset's symmetric
+    fraction and stays within (0, batch)."""
+    import dataclasses
+    from plr2_tpu.config import get_preset
+    from plr2_tpu.train import BatchTrainer
+
+    cfg = get_preset("ycb_train")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, sym_slots=-1, batch_size=16))
+    tr = BatchTrainer(cfg)
+    slots = tr._sym_slots()
+    # 5 of 21 YCB objects are symmetric -> 2*ceil(16*5/21) = 8
+    assert slots == 8
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, sym_slots=0))
+    assert BatchTrainer(cfg2)._sym_slots() is None

@@ -32,6 +32,10 @@ def main():
     refine = "--refine" in sys.argv
     phase = "--phase" in sys.argv
     remat = "--remat" in sys.argv
+    sym_slots = None
+    for a in sys.argv[1:]:
+        if a.startswith("--sym_slots="):
+            sym_slots = int(a.split("=", 1)[1])
     inner, reps = 8, 3
     crop, n_points, num_objects = 160, 1000, 21
 
@@ -44,7 +48,8 @@ def main():
     init_fn, step = make_train_step(
         pipe, sym_list=(0, 3), w=0.015, lr=1e-4,
         refine_iterations=2 if refine else 0,
-        use_pallas=jax.default_backend() == "tpu", remat=remat)
+        use_pallas=jax.default_backend() == "tpu", remat=remat,
+        sym_slots=sym_slots)
     opt_state = init_fn(variables)
 
     ks = jax.random.split(jax.random.key(1), 5)
@@ -91,7 +96,8 @@ def main():
         np.asarray(loop(variables, opt_state, batch_data))
     total = (time.perf_counter() - t0) / reps
     per_step = max(total - overhead, 1e-9) / inner
-    print(f"train step (batch {batch}, refine={refine}, phase={phase}, remat={remat}): "
+    print(f"train step (batch {batch}, refine={refine}, phase={phase}, "
+          f"remat={remat}, sym_slots={sym_slots}): "
           f"{per_step * 1e3:.2f} ms/step, "
           f"{batch / per_step:.1f} samples/s", flush=True)
 

@@ -107,8 +107,26 @@ def main():
         val, g = jax.value_and_grad(f)(variables)
         return val + tree_dot(g)
 
+    # --- sub-model row: the encoder (PSPNet + choose-gather) alone, via a
+    # standalone PSPNet carrying the posenet's nested "cnn" params ---
+    from plr2_tpu.models.pspnet import PSPNet
+
+    cnn = PSPNet(emb_dim=32, phase_upsample=pipe.posenet.phase_upsample)
+    cnn_vars = {"params": variables["params"]["cnn"],
+                "batch_stats": variables["batch_stats"]["cnn"]}
+
+    def stage_cnn_fwd(img, prev):
+        return cnn.apply(cnn_vars, img + prev, choose=choose)[0, 0, 0]
+
+    def stage_cnn_fwd_bwd(img, prev):
+        g = jax.grad(lambda v: jnp.mean(
+            cnn.apply(v, img + prev, choose=choose)))(cnn_vars)
+        return tree_dot(g)
+
     rows = [("posenet_fwd", stage_fwd, (img,)),
             ("posenet_fwd_bwd(mean loss)", stage_fwd_bwd, (img,)),
+            ("pspnet_fwd(cnn+gather)", stage_cnn_fwd, (img,)),
+            ("pspnet_fwd_bwd(cnn+gather)", stage_cnn_fwd_bwd, (img,)),
             ("pose_loss_fwd_bwd(wrt r,t,c)", stage_loss, (r0, t0_, c0)),
             ("full_fwd_bwd(loss(model))", stage_full, (img,))]
     for name, fn, args in rows:

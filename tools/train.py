@@ -51,6 +51,11 @@ def parse_args():
                    help="shard batches over this many devices "
                         "(jax.sharding Mesh data axis; implies --batched); "
                         "0 = use the config value")
+    p.add_argument("--sym_slots", type=int, default=0,
+                   help="batched mode: chamfer at most this many symmetric "
+                        "samples per mixed batch via static compaction "
+                        "slots (exact; -1 = auto-size from the dataset's "
+                        "symmetric fraction, 0 = off)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args()
@@ -87,7 +92,8 @@ def main():
             checkpoint_dir=args.outf, log_dir=args.log_dir,
             resume_posenet=args.resume_posenet,
             resume_refinenet=args.resume_refinenet,
-            start_epoch=args.start_epoch, workers=args.workers))
+            start_epoch=args.start_epoch, workers=args.workers,
+            sym_slots=args.sym_slots))
     else:
         args.nepoch = cfg.train.nepoch
 
