@@ -78,6 +78,13 @@ def pose_loss(
     max_sym_slots: int | None = None,
 ) -> PoseLossOut:
     b, n, _ = pred_r.shape
+    # metric math is ALWAYS f32 regardless of the network compute dtype
+    # (bf16 model outputs under mixed-precision training): distances and
+    # quaternion normalization at bf16 are far too coarse. No-op (elided
+    # by XLA) for f32 callers; gradients flow back through the cast.
+    pred_r, pred_t, pred_c, target, model_points, points = (
+        x.astype(jnp.float32)
+        for x in (pred_r, pred_t, pred_c, target, model_points, points))
     pred, rot, t_cand = transform_hypotheses(pred_r, pred_t, points, model_points)
     c = pred_c[..., 0]  # (B, N)
 

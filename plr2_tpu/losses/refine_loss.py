@@ -40,6 +40,10 @@ def refine_loss(
     sym_list: Tuple[int, ...],
     use_pallas: bool = False,
 ) -> RefineLossOut:
+    # metric math is ALWAYS f32 (see add_loss.py) — no-op for f32 callers
+    pred_r, pred_t, target, model_points, points = (
+        x.astype(jnp.float32)
+        for x in (pred_r, pred_t, target, model_points, points))
     q = normalize_quaternion(pred_r[:, 0, :])  # (B, 4)
     rot = quat_to_matrix_df(q)  # (B, 3, 3)
     t = pred_t[:, 0, :]  # (B, 3)

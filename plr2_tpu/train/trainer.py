@@ -54,11 +54,18 @@ class TrainState:
 class Trainer:
     def __init__(self, config: PipelineConfig, pipe: Optional[DenseFusionPipeline] = None):
         self.cfg = config
+        # mixed-precision training: ModelConfig.dtype = "bfloat16" runs
+        # the network compute in bf16 while parameters, optimizer state
+        # and all loss/metric math stay f32 (losses cast at entry)
+        import jax.numpy as _jnp
+        dtype = (_jnp.bfloat16 if config.model.dtype in ("bfloat16", "bf16")
+                 else _jnp.float32)
         self.pipe = pipe or DenseFusionPipeline(
             num_points=config.model.num_points,
             num_objects=config.model.num_objects,
             use_pallas=config.model.use_pallas_model,
-            phase_upsample=config.model.phase_upsample)
+            phase_upsample=config.model.phase_upsample,
+            dtype=dtype)
         self.sym_list = tuple(config.dataset.sym_list)
         # Routed to ops.chamfer_min_distance, whose dispatcher picks the
         # Pallas ADD-S kernel only where it measures faster than the

@@ -217,3 +217,53 @@ def test_eval_dis_uses_adds_for_sym_before_refine_stage(tiny_ds):
     import inspect
     src = inspect.getsource(tr.eval_dis.__wrapped__)
     assert "refine=refine_iterations > 0" in src
+
+
+def test_mixed_precision_training_step():
+    """ModelConfig.dtype=bfloat16: network compute in bf16, params/grads/
+    loss math f32; a few steps track the f32 trajectory."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from plr2_tpu.config import get_preset
+    from plr2_tpu.parallel import make_train_step
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.train import Trainer
+
+    cfg = get_preset("linemod_train")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dtype="bfloat16"))
+    tr = Trainer(cfg)
+    assert tr.pipe.posenet.dtype == jnp.bfloat16
+    variables = tr.pipe.init(jax.random.key(0), crop_hw=48, batch=1)
+    # parameters and BN stats stay f32 (mixed precision, not cast weights)
+    for leaf in jax.tree_util.tree_leaves(variables):
+        assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
+
+    ks = jax.random.split(jax.random.key(1), 5)
+    losses = {}
+    for dtype_name in ("float32", "bfloat16"):
+        pipe = DenseFusionPipeline(
+            num_points=tr.pipe.num_points, num_objects=tr.pipe.num_objects,
+            dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32)
+        init_fn, step = make_train_step(pipe, sym_list=(7, 8), w=0.015,
+                                        lr=1e-4)
+        batch = {
+            "img": jax.random.normal(ks[0], (4, 48, 48, 3), jnp.float32),
+            "points": jax.random.normal(ks[1], (4, 16, 3)) * 0.1,
+            "choose": jax.random.randint(ks[2], (4, 16), 0, 48 * 48),
+            "target": jax.random.normal(ks[3], (4, 12, 3)) * 0.05,
+            "model_points": jax.random.normal(ks[4], (4, 12, 3)) * 0.05,
+            "idx": jnp.asarray([0, 7, 1, 8], jnp.int32),
+        }
+        v, o = variables, init_fn(variables)
+        traj = []
+        for i in range(3):
+            v, o, m = step(v, o, batch, jax.random.key(i))
+            traj.append(float(m["loss"]))
+            for leaf in jax.tree_util.tree_leaves(v):
+                assert leaf.dtype in (jnp.float32, jnp.int32)
+        losses[dtype_name] = traj
+    # bf16 network compute tracks f32 loss to bf16-grade tolerance
+    for a, b in zip(losses["float32"], losses["bfloat16"]):
+        assert abs(a - b) / max(abs(a), 1e-6) < 0.05, (losses,)

@@ -32,6 +32,7 @@ def main():
     refine = "--refine" in sys.argv
     phase = "--phase" in sys.argv
     remat = "--remat" in sys.argv
+    bf16 = "--bf16" in sys.argv
     sym_slots = None
     for a in sys.argv[1:]:
         if a.startswith("--sym_slots="):
@@ -43,7 +44,8 @@ def main():
     from plr2_tpu.pipeline import DenseFusionPipeline
 
     pipe = DenseFusionPipeline(num_points=n_points, num_objects=num_objects,
-                               phase_upsample=phase)
+                               phase_upsample=phase,
+                               dtype=jnp.bfloat16 if bf16 else jnp.float32)
     variables = pipe.init(jax.random.key(0), crop_hw=crop, batch=1)
     init_fn, step = make_train_step(
         pipe, sym_list=(0, 3), w=0.015, lr=1e-4,
@@ -97,7 +99,7 @@ def main():
     total = (time.perf_counter() - t0) / reps
     per_step = max(total - overhead, 1e-9) / inner
     print(f"train step (batch {batch}, refine={refine}, phase={phase}, "
-          f"remat={remat}, sym_slots={sym_slots}): "
+          f"remat={remat}, sym_slots={sym_slots}, bf16={bf16}): "
           f"{per_step * 1e3:.2f} ms/step, "
           f"{batch / per_step:.1f} samples/s", flush=True)
 

@@ -22,6 +22,9 @@ def main():
     p.add_argument("--num_points", type=int, default=500)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--refine_iterations", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision: bf16 network compute, f32 "
+                        "params/optimizer/loss")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -44,7 +47,9 @@ def main():
              "choose": batch_s.choose, "target": batch_s.target,
              "model_points": batch_s.model_points, "idx": batch_s.idx}
 
-    pipe = DenseFusionPipeline(num_points=args.num_points, num_objects=4)
+    pipe = DenseFusionPipeline(num_points=args.num_points, num_objects=4,
+                               dtype=jnp.bfloat16 if args.bf16
+                               else jnp.float32)
     variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
     init_fn, step = make_train_step(
         pipe, sym_list=(), w=0.015, lr=args.lr,
