@@ -69,7 +69,8 @@ class LinemodDataset:
                  num_mesh_points: int = 500, add_noise: bool = True,
                  noise_trans: float = 0.03, seed: int = 0,
                  objlist: Optional[List[int]] = None,
-                 segnet_results: Optional[str] = None):
+                 segnet_results: Optional[str] = None,
+                 cache_mb: int = 0):
         """`segnet_results`: directory of predicted masks in the upstream
         eval layout `{segnet_results}/{obj:02d}_label/{frame:04d}_label.png`
         (pixel==255 -> object). When set, get_raw uses these instead of the
@@ -86,6 +87,10 @@ class LinemodDataset:
         self.add_noise = add_noise and mode == "train"
         self.noise_trans = noise_trans
         self.objlist = objlist or OBJLIST
+        # bounded LRU over the frame decode (deterministic: color/depth/
+        # mask come straight from files) — see data/frame_cache.py
+        from plr2_tpu.data.frame_cache import FrameCache
+        self._frame_cache = FrameCache(cache_mb)
         rng = np.random.default_rng(seed)
 
         self.items: List[Dict] = []
@@ -125,12 +130,10 @@ class LinemodDataset:
     def __len__(self) -> int:
         return len(self.items)
 
-    def get_raw(self, i: int) -> Dict:
-        """Decode one frame to raw arrays + GT pose (host side)."""
+    def _decode_frame(self, obj: int, fr: int):
+        """Pure (deterministic) decode of one frame -> cacheable."""
         from PIL import Image
 
-        it = self.items[i]
-        obj, fr = it["obj"], it["frame"]
         obj_dir = os.path.join(self.root, "data", f"{obj:02d}")
         color = np.asarray(
             Image.open(os.path.join(obj_dir, "rgb", f"{fr:04d}.png")).convert("RGB"))
@@ -151,6 +154,14 @@ class LinemodDataset:
                 mask = mask_img[..., 0] > 128
             else:
                 mask = mask_img > 128
+        return color, depth, mask
+
+    def get_raw(self, i: int) -> Dict:
+        """Decode one frame to raw arrays + GT pose (host side)."""
+        it = self.items[i]
+        obj, fr = it["obj"], it["frame"]
+        color, depth, mask = self._frame_cache.get(
+            (obj, fr), lambda: self._decode_frame(obj, fr))
 
         gt_list = self.meta[obj][fr]
         gt = next(g for g in gt_list if g.get("obj_id", obj) == obj)

@@ -57,7 +57,7 @@ class YCBDataset:
                  num_mesh_points_large: int = 2600, refine: bool = False,
                  add_front: bool = True, front_num: int = 2,
                  front_attempts: int = 5, front_keep_px: int = 1000,
-                 minimum_num_pt: int = 50):
+                 minimum_num_pt: int = 50, cache_mb: int = 0):
         self.root = root
         self.mode = mode
         self.num_points = num_points
@@ -69,6 +69,11 @@ class YCBDataset:
         self.front_attempts = front_attempts
         self.front_keep_px = front_keep_px
         self.minimum_num_pt = minimum_num_pt
+        # bounded LRU over the PURE frame decode (everything before the
+        # per-visit compositing/occluder randomness) — real-data epochs
+        # re-decode identical files every pass; see data/frame_cache.py
+        from plr2_tpu.data.frame_cache import FrameCache
+        self._frame_cache = FrameCache(cache_mb)
         rng = np.random.default_rng(seed)
 
         self._rng = np.random.default_rng(seed + 0x5EED)
@@ -132,12 +137,11 @@ class YCBDataset:
         seq = int(frame_path.split("/")[1])
         return CAM_1 if seq < 60 else CAM_2
 
-    def get_frame(self, i: int) -> Dict:
-        """Decode a full frame: color/depth/label + all object poses."""
+    def _decode_frame(self, fp: str) -> Dict:
+        """Pure frame decode (no per-visit randomness) — cacheable."""
         import scipy.io as sio
         from PIL import Image
 
-        fp = self.items[i]["frame"]
         base = os.path.join(self.root, fp)
         color = np.asarray(Image.open(base + "-color.png").convert("RGB"))
         depth = np.asarray(Image.open(base + "-depth.png"), dtype=np.float32)
@@ -147,18 +151,6 @@ class YCBDataset:
         poses = meta["poses"]  # (3, 4, K)
         intr = dict(self._intrinsics(fp))
         intr["cam_scale"] = float(meta["factor_depth"].flatten()[0])
-
-        if fp.startswith("data_syn") and self.real_frames:
-            # composite synthetic foreground over a random real background
-            # (fresh draw per visit: the reference re-randomizes every
-            # __getitem__, so every epoch composites differently)
-            bg_path = os.path.join(
-                self.root,
-                self.real_frames[self._rng.integers(len(self.real_frames))])
-            bg = np.asarray(Image.open(bg_path + "-color.png").convert("RGB"))
-            fg = label > 0
-            color = np.where(fg[..., None], color, bg)
-
         objects = {}
         for k, ci in enumerate(cls_indexes):
             objects[int(ci) - 1] = {  # cls_indexes are 1-based
@@ -167,6 +159,29 @@ class YCBDataset:
             }
         return dict(color=color, depth=depth, label=label, objects=objects,
                     intrinsics=intr)
+
+    def get_frame(self, i: int) -> Dict:
+        """Decode a full frame: color/depth/label + all object poses."""
+        from PIL import Image
+
+        fp = self.items[i]["frame"]
+        fr = dict(self._frame_cache.get(
+            ("frame", fp), lambda: self._decode_frame(fp)))
+
+        if fp.startswith("data_syn") and self.real_frames:
+            # composite synthetic foreground over a random real background
+            # (fresh draw per visit: the reference re-randomizes every
+            # __getitem__, so every epoch composites differently)
+            bg_path = os.path.join(
+                self.root,
+                self.real_frames[self._rng.integers(len(self.real_frames))])
+            bg = self._frame_cache.get(
+                ("color", bg_path),
+                lambda: np.asarray(
+                    Image.open(bg_path + "-color.png").convert("RGB")))
+            fg = fr["label"] > 0
+            fr["color"] = np.where(fg[..., None], fr["color"], bg)
+        return fr
 
     def _front_occluder(self, color: np.ndarray, mask: np.ndarray):
         """Composite `front_num` objects of a random synthetic frame in
@@ -177,7 +192,9 @@ class YCBDataset:
         for _ in range(self.front_attempts):
             fp = self.syn_frames[int(self._rng.integers(len(self.syn_frames)))]
             base = os.path.join(self.root, fp)
-            f_label = np.asarray(Image.open(base + "-label.png"), np.int32)
+            f_label = self._frame_cache.get(
+                ("label", fp),
+                lambda: np.asarray(Image.open(base + "-label.png"), np.int32))
             present = np.unique(f_label)
             present = present[present > 0]
             if len(present) < self.front_num:
@@ -187,8 +204,10 @@ class YCBDataset:
             kept = mask & ~front_mask
             if int(kept.sum()) <= self.front_keep_px:
                 continue
-            f_color = np.asarray(
-                Image.open(base + "-color.png").convert("RGB"))
+            f_color = self._frame_cache.get(
+                ("color2", fp),
+                lambda: np.asarray(
+                    Image.open(base + "-color.png").convert("RGB")))
             color = np.where(front_mask[..., None], f_color, color)
             return color, kept
         return None

@@ -308,3 +308,47 @@ def test_adjust_hue_round_trip(rng):
     x = jnp.asarray(rng.random((5, 5, 3)).astype(np.float32))
     back = adjust_hue(adjust_hue(x, 0.13), -0.13)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+# ---------- frame cache ----------
+
+def test_frame_cache_lru_eviction_and_disable():
+    from plr2_tpu.data.frame_cache import FrameCache
+
+    calls = {"n": 0}
+
+    def make(k):
+        def f():
+            calls["n"] += 1
+            return np.full((512, 512), k, dtype=np.float32)  # 1 MB each
+        return f
+
+    # disabled: every get decodes
+    off = FrameCache(0)
+    off.get("a", make(1)); off.get("a", make(1))
+    assert calls["n"] == 2
+
+    calls["n"] = 0
+    c = FrameCache(2)  # holds two 1 MB entries
+    a1 = c.get("a", make(1))
+    assert (c.get("a", make(1)) is a1) and calls["n"] == 1  # hit
+    c.get("b", make(2))
+    c.get("c", make(3))        # evicts "a" (LRU)
+    assert calls["n"] == 3
+    c.get("b", make(2))        # still cached
+    assert calls["n"] == 3
+    c.get("a", make(1))        # was evicted -> re-decode
+    assert calls["n"] == 4
+    assert c.hits == 2 and c.misses == 4
+
+    # cached arrays are frozen: in-place mutation raises instead of
+    # corrupting later reads
+    import pytest
+    with pytest.raises(ValueError):
+        a1[0, 0] = 7.0
+
+    # nested structures are byte-accounted and frozen too
+    d = FrameCache(1)
+    v = d.get("k", lambda: {"x": np.zeros((8, 8)), "l": [np.ones(4)]})
+    with pytest.raises(ValueError):
+        v["l"][0][0] = 2.0

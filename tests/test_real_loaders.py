@@ -372,3 +372,36 @@ def test_linemod_segnet_results_eval(linemod_root, tmp_path):
                     refine_iterations=1, diameters=diam)
     assert res2.num_samples == 0
     assert res2.lost_detections == 1
+
+
+def test_linemod_cache_returns_identical_samples(linemod_root):
+    from plr2_tpu.data import LinemodDataset
+
+    plain = LinemodDataset(linemod_root, "train", num_points=300,
+                           num_mesh_points=400, objlist=[1])
+    cached = LinemodDataset(linemod_root, "train", num_points=300,
+                            num_mesh_points=400, objlist=[1], cache_mb=64)
+    for _ in range(3):  # repeat visits exercise the hit path
+        a, b = plain.get_raw(0), cached.get_raw(0)
+        for k in ("color", "depth", "mask", "target_r", "target_t",
+                  "model_points"):
+            np.testing.assert_array_equal(a[k], b[k])
+    assert cached._frame_cache.hits == 2
+
+
+def test_ycb_cache_preserves_per_visit_randomness(ycb_root):
+    """Caching covers only the pure decode: synthetic-background draws and
+    occluder draws must still re-randomize per visit, and the sample stream
+    must match an uncached dataset with the same seed exactly."""
+    from plr2_tpu.data import YCBDataset
+
+    kw = dict(num_points=64, num_mesh_points=64, add_front=True,
+              front_num=1, front_keep_px=10, minimum_num_pt=0, seed=5)
+    plain = YCBDataset(ycb_root, "train", **kw)
+    cached = YCBDataset(ycb_root, "train", cache_mb=64, **kw)
+    for i in [0, 1, 0, 1, 0]:
+        a, b = plain.get_raw(i), cached.get_raw(i)
+        for k in ("color", "depth", "mask", "target_r", "target_t"):
+            np.testing.assert_array_equal(a[k], b[k])
+        assert a["obj_idx"] == b["obj_idx"]
+    assert cached._frame_cache.hits > 0

@@ -56,6 +56,10 @@ def parse_args():
                         "samples per mixed batch via static compaction "
                         "slots (exact; -1 = auto-size from the dataset's "
                         "symmetric fraction, 0 = off)")
+    p.add_argument("--cache_mb", type=int, default=0,
+                   help="host-side decoded-frame LRU cache budget in MB "
+                        "per dataset (0 = off); real-data epochs re-decode "
+                        "identical PNGs every pass — see data/frame_cache.py")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args()
@@ -109,18 +113,22 @@ def main():
         train_ds = LinemodDataset(args.dataset_root, "train",
                                   cfg.model.num_points,
                                   cfg.dataset.num_mesh_points,
-                                  noise_trans=args.noise_trans)
+                                  noise_trans=args.noise_trans,
+                                  cache_mb=args.cache_mb)
         test_ds = LinemodDataset(args.dataset_root, "test",
                                  cfg.model.num_points,
-                                 cfg.dataset.num_mesh_points, add_noise=False)
+                                 cfg.dataset.num_mesh_points, add_noise=False,
+                                 cache_mb=args.cache_mb)
     else:
         train_ds = YCBDataset(args.dataset_root, "train", cfg.model.num_points,
                               cfg.dataset.num_mesh_points,
                               noise_trans=args.noise_trans,
-                              num_mesh_points_large=cfg.dataset.num_mesh_points_large)
+                              num_mesh_points_large=cfg.dataset.num_mesh_points_large,
+                              cache_mb=args.cache_mb)
         test_ds = YCBDataset(args.dataset_root, "test", cfg.model.num_points,
                              cfg.dataset.num_mesh_points, add_noise=False,
-                             num_mesh_points_large=cfg.dataset.num_mesh_points_large)
+                             num_mesh_points_large=cfg.dataset.num_mesh_points_large,
+                             cache_mb=args.cache_mb)
 
     if args.data_parallel:
         cfg = dataclasses.replace(cfg, data_parallel=args.data_parallel)
