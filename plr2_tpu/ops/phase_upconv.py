@@ -70,7 +70,7 @@ def _phase_conv_grid(x, kernel):
     # (3,3,cin, 2,2,cout): composite kernel per (vertical, horizontal) phase
     kk = jnp.einsum("pud,qve,dexy->uvxpqy", wmix, wmix, kernel)
     kk2d = kk.reshape(3, 3, cin, 4 * cout).astype(x.dtype)
-    y = _conv(x, kk2d, (1, 1), (1, 1)).reshape(b, h, w, 2, 2, cout)
+    y = _conv(x, kk2d, (1, 1), (1, 1))  # (B, h, w, 4C)
 
     # edge corrections: rows 0 / h-1 (vertical delta x horizontal W),
     # cols 0 / w-1 (vertical W x horizontal delta) — one 1D conv each
@@ -80,27 +80,36 @@ def _phase_conv_grid(x, kernel):
     k_row = k_row.reshape(2, 3, cin, 4 * cout).astype(x.dtype)
     k_col = k_col.reshape(2, 3, cin, 4 * cout).astype(x.dtype)
 
-    def row_corr(src, which):  # src (B, w, cin)
-        c = _conv(src[:, None], k_row[which][None], (0, 0), (1, 1))
-        return c[:, 0].reshape(b, w, 2, 2, cout)
+    def row_corr(which, rows):  # boundary row (B, 1, w, cin) -> (B, 1, w, 4C)
+        return _conv(rows, k_row[which][None], (0, 0), (1, 1))
 
-    def col_corr(src, which):  # src (B, h, cin)
-        c = _conv(src[:, :, None], k_col[which][:, None], (1, 1), (0, 0))
-        return c[:, :, 0].reshape(b, h, 2, 2, cout)
+    def col_corr(which, cols):  # boundary col (B, h, 1, cin) -> (B, h, 1, 4C)
+        return _conv(cols, k_col[which][:, None], (1, 1), (0, 0))
 
-    y = y.at[:, 0].add(row_corr(x[:, 0], 0))
-    y = y.at[:, -1].add(row_corr(x[:, -1], 1))
-    y = y.at[:, :, 0].add(col_corr(x[:, :, 0], 0))
-    y = y.at[:, :, -1].add(col_corr(x[:, :, -1], 1))
+    c_top, c_bot = row_corr(0, x[:, :1]), row_corr(1, x[:, -1:])
+    d_lft, d_rgt = col_corr(0, x[:, :, :1]), col_corr(1, x[:, :, -1:])
 
-    # corner second-order terms: (D ⊗ D) on the 4 corner pixels
+    # corner second-order terms (D ⊗ D on the 4 corner pixels), folded
+    # into the row strips (tiny at-adds on (B,1,w,4C) are cheap)
     k_corner = jnp.einsum("fpd,gqe,dexy->fgxpqy", dmix, dmix, kernel)
-    k_corner = k_corner.reshape(2, 2, cin, 2, 2, cout).astype(x.dtype)
-    for fi, ri in ((0, 0), (1, -1)):
-        for gi, ci in ((0, 0), (1, -1)):
-            add = jnp.einsum("bx,xpqy->bpqy", x[:, ri, ci], k_corner[fi, gi])
-            y = y.at[:, ri, ci].add(add)
-    return y
+    k_corner = k_corner.reshape(2, 2, cin, 4 * cout).astype(x.dtype)
+    corner = lambda fi, gi, ri, ci: jnp.einsum(
+        "bx,xc->bc", x[:, ri, ci], k_corner[fi, gi])
+    c_top = c_top.at[:, 0, 0].add(corner(0, 0, 0, 0))
+    c_top = c_top.at[:, 0, -1].add(corner(0, 1, 0, -1))
+    c_bot = c_bot.at[:, 0, 0].add(corner(1, 0, -1, 0))
+    c_bot = c_bot.at[:, 0, -1].add(corner(1, 1, -1, -1))
+
+    # in-place adds on the FLAT (B, h, w, 4C) map: boundary-only HBM
+    # traffic, and the 4C=256+ trailing dim keeps clean (8,128) tiles.
+    # (On the 6-D (..., 2, 2, C) view the same .at adds cost ~0.75 ms
+    # each — the (2, 2, C) trailing dims pad 2 -> 8 sublanes; full-map
+    # strip adds / concat assembly cost ~1-2 extra full-map HBM passes.)
+    y = y.at[:, :1].add(c_top)
+    y = y.at[:, -1:].add(c_bot)
+    y = y.at[:, :, :1].add(d_lft)
+    y = y.at[:, :, -1:].add(d_rgt)
+    return y.reshape(b, h, w, 2, 2, cout)
 
 
 def phase_upconv3x3_prelu(x, kernel, bias, prelu_alpha):
@@ -131,7 +140,10 @@ def phase_upconv3x3_prelu_gather(x, kernel, bias, prelu_alpha, choose):
     low = (r // 2) * w + (c // 2)
     phase = (r % 2) * 2 + (c % 2)
     ywide = y.reshape(b, h * w, 4 * cout)
-    g = jnp.take_along_axis(ywide, low[..., None], axis=1)  # (B, N, 4C)
+    # one-hot MXU backward: the scatter-add transpose of this gather costs
+    # 2.4x more at training shapes (ops/gather.py)
+    from plr2_tpu.ops.gather import gather_rows
+    g = gather_rows(ywide, low)  # (B, N, 4C)
     onehot = jax.nn.one_hot(phase, 4, dtype=y.dtype)  # (B, N, 4)
     g = jnp.einsum("bnpc,bnp->bnc", g.reshape(b, -1, 4, cout), onehot)
     g = g + bias

@@ -282,3 +282,25 @@ def test_phase_upconv_non_square_shapes(rng):
         got = phase_upconv3x3_prelu(x, k, b, jnp.float32(0.25))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=3e-5, err_msg=f"{h}x{w} {cin}->{cout}")
+
+
+def test_gather_rows_onehot_backward_matches_scatter(rng):
+    """ops.gather.gather_rows: forward equals take_along_axis; the one-hot
+    MXU backward equals the scatter-add autodiff transpose exactly."""
+    from plr2_tpu.ops.gather import gather_rows
+
+    y = jnp.asarray(rng.normal(size=(3, 40, 16)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 40, size=(3, 7)).astype(np.int32))
+    ref = jnp.take_along_axis(y, idx[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(gather_rows(y, idx)), ref)
+
+    def loss(fn, yy):
+        g = fn(yy, idx)
+        return jnp.sum(jnp.sin(g) * g)
+
+    g_ref = jax.grad(lambda yy: loss(
+        lambda a, b: jnp.take_along_axis(a, b[..., None], axis=1), yy))(y)
+    g_new = jax.grad(lambda yy: loss(gather_rows, yy))(y)
+    # duplicate indices must accumulate, zeros elsewhere
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)

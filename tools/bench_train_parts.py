@@ -57,12 +57,16 @@ def tree_dot(t):
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 32
+    bf16 = "--bf16" in sys.argv
     crop, n_points, num_obj = 160, 1000, 21
     from plr2_tpu.losses import pose_loss
     from plr2_tpu.pipeline import DenseFusionPipeline
 
-    pipe = DenseFusionPipeline(num_points=n_points, num_objects=num_obj)
+    pipe = DenseFusionPipeline(num_points=n_points, num_objects=num_obj,
+                               phase_upsample=True,
+                               dtype=jnp.bfloat16 if bf16 else jnp.float32)
     variables = pipe.init(jax.random.key(0), crop_hw=crop,
                           batch=1)["posenet"]
     ks = jax.random.split(jax.random.key(1), 5)
@@ -111,7 +115,8 @@ def main():
     # standalone PSPNet carrying the posenet's nested "cnn" params ---
     from plr2_tpu.models.pspnet import PSPNet
 
-    cnn = PSPNet(emb_dim=32, phase_upsample=pipe.posenet.phase_upsample)
+    cnn = PSPNet(emb_dim=32, phase_upsample=pipe.posenet.phase_upsample,
+                 dtype=pipe.posenet.dtype)
     cnn_vars = {"params": variables["params"]["cnn"],
                 "batch_stats": variables["batch_stats"]["cnn"]}
 
