@@ -18,6 +18,7 @@ Layer map (mirrors the reference's capabilities, see SURVEY.md):
   eval/      ADD(-S) metrics, AUC (replaces the MATLAB YCB toolbox)
   parallel/  device-mesh sharding (data-parallel pjit)
   native/    C++ host-side data plane (PLY parsing, mask->choose sampling)
+  serving    single-jit frame program: RGB-D frame -> per-object poses
 """
 
 __version__ = "0.1.0"

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 BORDER_LIST = [-1, 40, 80, 120, 160, 200, 240, 280, 320,
@@ -68,3 +69,53 @@ def snap_bbox(rmin: int, rmax: int, cmin: int, cmax: int,
         cmin -= cmax - img_w
         cmax = img_w
     return rmin, rmax, cmin, cmax
+
+
+# --- device (jnp) twins, exact vs the host functions above (oracle test in
+# tests/test_data.py) — used by the single-jit serving program
+# (plr2_tpu/serving.py) to crop on device without a host round-trip. -------
+
+def _snap_len_device(n: jnp.ndarray) -> jnp.ndarray:
+    """Snap a side length UP through BORDER_LIST (host loop semantics:
+    lengths beyond the last entry stay unsnapped)."""
+    border = jnp.asarray(BORDER_LIST[1:], jnp.int32)
+    i = jnp.searchsorted(border, n.astype(jnp.int32), side="left")
+    snapped = border[jnp.minimum(i, border.shape[0] - 1)]
+    return jnp.where(n > border[-1], n, snapped)
+
+
+def device_snap_bbox(rmin, rmax, cmin, cmax, img_h: int, img_w: int):
+    """jnp version of snap_bbox (identical integer arithmetic)."""
+    rmin, rmax, cmin, cmax = (jnp.asarray(v, jnp.int32)
+                              for v in (rmin, rmax, cmin, cmax))
+    r_b = _snap_len_device(rmax - rmin)
+    c_b = _snap_len_device(cmax - cmin)
+    cr, cc = (rmin + rmax) // 2, (cmin + cmax) // 2
+    rmin, rmax = cr - r_b // 2, cr + r_b // 2
+    cmin, cmax = cc - c_b // 2, cc + c_b // 2
+    rmax = rmax + jnp.maximum(-rmin, 0)
+    rmin = jnp.maximum(rmin, 0)
+    cmax = cmax + jnp.maximum(-cmin, 0)
+    cmin = jnp.maximum(cmin, 0)
+    rmin = rmin - jnp.maximum(rmax - img_h, 0)
+    rmax = jnp.minimum(rmax, img_h)
+    cmin = cmin - jnp.maximum(cmax - img_w, 0)
+    cmax = jnp.minimum(cmax, img_w)
+    return rmin, rmax, cmin, cmax
+
+
+def device_bbox_from_mask(mask: jnp.ndarray):
+    """jnp version of get_bbox_from_mask: (H, W) bool -> snapped window
+    (rmin, rmax, cmin, cmax), empty-mask default included."""
+    h, w = mask.shape
+    rows = jnp.any(mask, axis=1)
+    cols = jnp.any(mask, axis=0)
+    nonempty = jnp.any(rows)
+    rmin = jnp.argmax(rows).astype(jnp.int32)
+    rmax = (h - jnp.argmax(rows[::-1])).astype(jnp.int32)  # last idx + 1
+    cmin = jnp.argmax(cols).astype(jnp.int32)
+    cmax = (w - jnp.argmax(cols[::-1])).astype(jnp.int32)
+    snapped = device_snap_bbox(rmin, rmax, cmin, cmax, h, w)
+    default = (0, min(40, h), 0, min(40, w))
+    return tuple(jnp.where(nonempty, s, jnp.int32(d))
+                 for s, d in zip(snapped, default))

@@ -1,0 +1,167 @@
+"""Single-jit frame serving: full RGB-D frame -> per-object refined poses.
+
+The reference's eval chain (upstream tools/eval_ycb.py, SURVEY.md §3.2)
+crosses the host/device boundary per object and per refinement iteration:
+host NumPy computes the mask/bbox/crop/cloud, the GPU runs PoseNet, then
+each refine step re-centres the cloud on host. Here the ENTIRE per-frame
+pipeline is one XLA program:
+
+    [SegNet label map (optional)] -> per-object mask -> border-list bbox
+    (device twin) -> canvas crop -> fused choose/backproject/normalize
+    preprocessing -> batched PoseNet over all objects -> confidence argmax
+    -> K-iteration lax.scan refinement -> (quat, trans) per object.
+
+Zero host round-trips per frame; the only transfers are the input frame
+up and the K poses down. Crop windows are placed at the canvas top-left
+over a zero background, exactly like the host batched path
+(`stack_samples`), so results match the host pipeline bit-for-bit on the
+deterministic (wrap-sampling) path — pinned in tests/test_serving.py.
+
+Static knobs (one compiled program per combination): canvas size,
+max objects per frame K, num_points, refine iterations, segmentation
+on/off. Inactive object slots (obj_id <= 0) and too-small masks compute
+alongside (static shapes) and are reported invalid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from plr2_tpu.data.bbox import device_bbox_from_mask
+from plr2_tpu.data.preprocess import preprocess_crop
+from plr2_tpu.pipeline import DenseFusionPipeline
+
+
+class FramePoses(NamedTuple):
+    quat: jnp.ndarray        # (K, 4) wxyz, normalized
+    trans: jnp.ndarray       # (K, 3)
+    confidence: jnp.ndarray  # (K,) best per-point confidence
+    valid: jnp.ndarray       # (K,) bool: active slot with enough mask pixels
+
+
+class FrameEstimator:
+    """Compiles and runs the single-jit frame program.
+
+    pipe: the DenseFusionPipeline (its dtype decides f32/bf16 serving).
+    seg_model: optional SegNet module — when given, `run` ignores the
+        `label` argument and segments the frame on device.
+    """
+
+    def __init__(self, pipe: DenseFusionPipeline, *, canvas: int = 240,
+                 img_h: int = 480, img_w: int = 640,
+                 refine_iterations: int = 4, min_mask_pixels: int = 50,
+                 seg_model: Any = None):
+        if canvas > img_h or canvas > img_w:
+            raise ValueError("canvas must fit inside the frame")
+        self.pipe = pipe
+        self.canvas = canvas
+        self.img_h = img_h
+        self.img_w = img_w
+        self.refine_iterations = refine_iterations
+        self.min_mask_pixels = min_mask_pixels
+        self.seg_model = seg_model
+        self._run = jax.jit(self._program)
+
+    # -- per-object: mask -> bbox -> canvas crop -> fused preprocessing --
+
+    def _sample_one(self, color, depth, label, intr_vec, obj_id,
+                    model_points, target_r, target_t, key):
+        mask = (label == obj_id) & (depth > 0)
+        npix = jnp.sum(mask.astype(jnp.int32))
+        rmin, rmax, cmin, cmax = device_bbox_from_mask(mask)
+
+        c = self.canvas
+        # frames are pre-padded by `canvas` on bottom/right, so a slice
+        # starting at (rmin, cmin) never clamps — the window lands at the
+        # canvas top-left over zeros, exactly like stack_samples
+        colc = jax.lax.dynamic_slice(color, (rmin, cmin, jnp.int32(0)),
+                                     (c, c, 3))
+        depc = jax.lax.dynamic_slice(depth, (rmin, cmin), (c, c))
+        maskc = jax.lax.dynamic_slice(mask, (rmin, cmin), (c, c))
+        inwin = ((jnp.arange(c, dtype=jnp.int32)[:, None] < rmax - rmin) &
+                 (jnp.arange(c, dtype=jnp.int32)[None, :] < cmax - cmin))
+        maskc = maskc & inwin
+        colc = jnp.where(inwin[..., None], colc, 0)
+
+        # clamp the head index for inactive/out-of-range slots (their
+        # outputs are discarded via `valid`; an OOB gather is undefined)
+        idx = jnp.clip(obj_id - 1, 0, self.pipe.num_objects - 1)
+        sample = preprocess_crop(
+            colc, depc, maskc, rmin, cmin, intr_vec, model_points,
+            target_r, target_t, idx, key,
+            num_points=self.pipe.num_points, add_noise=False)
+        # the host batched path (stack_samples) zero-pads the NORMALIZED
+        # crop — zero the background after normalization to match exactly
+        sample = sample._replace(
+            img=jnp.where(inwin[..., None], sample.img, 0.0))
+        valid = (obj_id > 0) & (npix >= self.min_mask_pixels)
+        return sample, valid
+
+    def _program(self, variables, color, depth, label, obj_ids,
+                 model_points, target_r, target_t, intr_vec, key,
+                 seg_variables=None):
+        c = self.canvas
+        if self.seg_model is not None:
+            # on-device segmentation; frame dims padded to the SegNet's
+            # 32-pixel pool grid
+            ph = -(-self.img_h // 32) * 32 - self.img_h
+            pw = -(-self.img_w // 32) * 32 - self.img_w
+            norm = (color.astype(jnp.float32)[None] / 255.0 - 0.5) / 0.5
+            norm = jnp.pad(norm, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            logits = self.seg_model.apply(seg_variables, norm)
+            label = jnp.argmax(logits[0, :self.img_h, :self.img_w], axis=-1)
+            label = label.astype(jnp.int32)
+
+        color = jnp.pad(color, ((0, c), (0, c), (0, 0)))
+        depth = jnp.pad(depth, ((0, c), (0, c)))
+        label = jnp.pad(label, ((0, c), (0, c)))
+
+        keys = jax.random.split(key, obj_ids.shape[0])
+        samples, valid = jax.vmap(
+            lambda o, m, tr, tt, k: self._sample_one(
+                color, depth, label, intr_vec, o, m, tr, tt, k)
+        )(obj_ids, model_points, target_r, target_t, keys)
+
+        est = self.pipe.estimate(variables, samples.img, samples.points,
+                                 samples.choose, samples.idx,
+                                 refine_iterations=self.refine_iterations)
+        return FramePoses(quat=est.quat, trans=est.trans,
+                          confidence=est.confidence, valid=valid), samples
+
+    # -- public surface --
+
+    def run(self, variables, color, depth, label, obj_ids, model_points,
+            intr_vec, key, seg_variables=None, target_r=None, target_t=None
+            ) -> FramePoses:
+        """Estimate poses for up to K = len(obj_ids) objects of one frame.
+
+        color (H, W, 3) uint8; depth (H, W) f32 raw units; label (H, W)
+        int (ignored when seg_model is set); obj_ids (K,) int32 1-based
+        label ids, <= 0 for inactive slots; model_points (K, M, 3);
+        intr_vec (5,) [cx cy fx fy cam_scale]. target_r/t (optional GT)
+        only affect the returned samples' `target` field for evaluation.
+        """
+        poses, _ = self.run_with_samples(
+            variables, color, depth, label, obj_ids, model_points, intr_vec,
+            key, seg_variables=seg_variables, target_r=target_r,
+            target_t=target_t)
+        return poses
+
+    def run_with_samples(self, variables, color, depth, label, obj_ids,
+                         model_points, intr_vec, key, seg_variables=None,
+                         target_r=None, target_t=None):
+        """run(), but also returns the preprocessed Sample batch (for
+        evaluation: sample.target holds the GT-posed model points when
+        target_r/t are given)."""
+        k = obj_ids.shape[0]
+        if target_r is None:
+            target_r = jnp.broadcast_to(jnp.eye(3), (k, 3, 3))
+        if target_t is None:
+            target_t = jnp.zeros((k, 3))
+        return self._run(variables, color, depth, label, obj_ids,
+                         model_points, target_r, target_t, intr_vec,
+                         key, seg_variables)

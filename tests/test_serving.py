@@ -1,0 +1,184 @@
+"""Single-jit frame serving (plr2_tpu/serving.py): device bbox twin oracle
+vs the host border-list implementation, and frame-program parity against
+the host crop -> preprocess -> stack_samples -> estimate chain."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from plr2_tpu.data.bbox import (device_bbox_from_mask, device_snap_bbox,
+                                get_bbox_from_mask, snap_bbox)
+
+
+def test_device_snap_bbox_matches_host_oracle(rng):
+    for _ in range(200):
+        h, w = int(rng.integers(60, 481)), int(rng.integers(60, 641))
+        rmin = int(rng.integers(0, h - 1))
+        rmax = int(rng.integers(rmin + 1, h + 1))
+        cmin = int(rng.integers(0, w - 1))
+        cmax = int(rng.integers(cmin + 1, w + 1))
+        host = snap_bbox(rmin, rmax, cmin, cmax, h, w)
+        dev = device_snap_bbox(rmin, rmax, cmin, cmax, h, w)
+        assert tuple(int(v) for v in dev) == host, (rmin, rmax, cmin, cmax, h, w)
+
+
+def test_device_bbox_from_mask_matches_host(rng):
+    h, w = 480, 640
+    for trial in range(20):
+        mask = np.zeros((h, w), bool)
+        if trial > 0:  # trial 0: empty-mask default path
+            r0, c0 = int(rng.integers(0, h - 5)), int(rng.integers(0, w - 5))
+            rh = int(rng.integers(1, min(300, h - r0)))
+            cw = int(rng.integers(1, min(300, w - c0)))
+            pts = rng.random((rh, cw)) < 0.3
+            mask[r0:r0 + rh, c0:c0 + cw] = pts
+            if not mask.any():
+                mask[r0, c0] = True
+        host = get_bbox_from_mask(mask, h, w)
+        dev = tuple(int(v) for v in device_bbox_from_mask(jnp.asarray(mask)))
+        assert dev == host
+
+
+@pytest.fixture(scope="module")
+def scene():
+    from plr2_tpu.data.synthetic import make_scene
+
+    frame, models = make_scene(num_objects=3, model_points=300, seed=7)
+    return frame, models
+
+
+def _host_estimate(pipe, variables, frame, models, obj_ids, keys, n_pts,
+                   canvas, refine_iterations):
+    """The existing host chain: bbox crop -> preprocess -> stack -> estimate."""
+    from plr2_tpu.data.loader import raw_to_sample, stack_samples
+
+    samples = []
+    for oid, key in zip(obj_ids, keys):
+        raw = dict(color=frame.color, depth=frame.depth.astype(np.float32),
+                   mask=(frame.label == oid) & (frame.depth > 0),
+                   target_r=frame.poses[oid][0], target_t=frame.poses[oid][1],
+                   model_points=models[oid], obj_idx=oid - 1,
+                   intrinsics=frame.intrinsics)
+        samples.append(raw_to_sample(raw, key, n_pts, add_noise=False))
+    batch = stack_samples(samples, crop=canvas)
+    est = pipe.estimate(variables, batch.img, batch.points, batch.choose,
+                        batch.idx, refine_iterations=refine_iterations)
+    return batch, est
+
+
+def test_frame_program_matches_host_chain(scene):
+    """On the deterministic wrap-sampling path (num_points >= mask pixels)
+    the single-jit frame program must reproduce the host chain exactly:
+    same choose indices, same clouds/images/targets, same poses."""
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.serving import FrameEstimator
+
+    frame, models = scene
+    # num_points above every object's pixel count -> wrap path everywhere
+    max_pix = max(int(((frame.label == o) & (frame.depth > 0)).sum())
+                  for o in frame.poses)
+    n_pts = max_pix + 16
+
+    pipe = DenseFusionPipeline(num_points=n_pts, num_objects=3)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+    obj_ids = sorted(frame.poses)
+    keys = jax.random.split(jax.random.key(42), len(obj_ids))
+
+    fe = FrameEstimator(pipe, canvas=240, refine_iterations=2)
+    poses, samples = fe.run_with_samples(
+        variables, jnp.asarray(frame.color),
+        jnp.asarray(frame.depth, jnp.float32),
+        jnp.asarray(frame.label, jnp.int32),
+        jnp.asarray(obj_ids, jnp.int32),
+        jnp.stack([jnp.asarray(models[o]) for o in obj_ids]),
+        jnp.asarray([frame.intrinsics[k] for k in
+                     ("cx", "cy", "fx", "fy", "cam_scale")], jnp.float32),
+        jax.random.key(0),
+        target_r=jnp.stack([jnp.asarray(frame.poses[o][0]) for o in obj_ids]),
+        target_t=jnp.stack([jnp.asarray(frame.poses[o][1]) for o in obj_ids]))
+    # the device program splits its key the same way run() does; mirror it
+    # for the host chain
+    host_keys = jax.random.split(jax.random.key(0), len(obj_ids))
+    batch, est = _host_estimate(pipe, variables, frame, models, obj_ids,
+                                host_keys, n_pts, 240, 2)
+
+    assert bool(poses.valid.all())
+    np.testing.assert_array_equal(np.asarray(samples.choose),
+                                  np.asarray(batch.choose))
+    np.testing.assert_allclose(np.asarray(samples.points),
+                               np.asarray(batch.points), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(samples.img),
+                               np.asarray(batch.img), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(samples.target),
+                               np.asarray(batch.target), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(poses.quat), np.asarray(est.quat),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(poses.trans), np.asarray(est.trans),
+                               atol=5e-5)
+
+
+def test_frame_program_invalid_slots_and_subsample(scene):
+    """Inactive slots (obj_id 0) and absent labels are flagged invalid;
+    the random-subsample path returns in-mask, sorted choose indices."""
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.serving import FrameEstimator
+
+    frame, models = scene
+    pipe = DenseFusionPipeline(num_points=64, num_objects=3)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+    present = sorted(frame.poses)[0]
+    obj_ids = [present, 0, 99]  # one real, one inactive, one absent label
+    mps = jnp.stack([jnp.asarray(models[present])] * 3)
+
+    fe = FrameEstimator(pipe, canvas=240, refine_iterations=1)
+    poses, samples = fe.run_with_samples(
+        variables, jnp.asarray(frame.color),
+        jnp.asarray(frame.depth, jnp.float32),
+        jnp.asarray(frame.label, jnp.int32),
+        jnp.asarray(obj_ids, jnp.int32), mps,
+        jnp.asarray([frame.intrinsics[k] for k in
+                     ("cx", "cy", "fx", "fy", "cam_scale")], jnp.float32),
+        jax.random.key(1))
+    assert poses.valid.tolist() == [True, False, False]
+    assert np.isfinite(np.asarray(poses.quat)).all()
+
+    # subsample path: every chosen pixel is a masked pixel, ascending order
+    choose = np.asarray(samples.choose[0])
+    assert (np.diff(choose) >= 0).all()
+    mask = np.asarray((frame.label == present) & (frame.depth > 0))
+    rmin, rmax, cmin, cmax = (int(v) for v in device_bbox_from_mask(
+        jnp.asarray(mask)))
+    rows, cols = choose // 240, choose % 240
+    assert mask[rows + rmin, cols + cmin].all()
+
+
+def test_frame_program_with_on_device_segnet(scene):
+    """seg_model mode: the label map comes from SegNet inside the same jit;
+    with an untrained net the program must still run and flag validity by
+    predicted-mask size."""
+    from plr2_tpu.models.segnet import SegNet
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.serving import FrameEstimator
+
+    frame, models = scene
+    pipe = DenseFusionPipeline(num_points=32, num_objects=3)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+    seg = SegNet(num_classes=4,
+                 enc_blocks=((1, 8), (1, 8), (1, 8), (1, 16), (1, 16)))
+    seg_vars = seg.init(jax.random.key(3),
+                        jnp.zeros((1, 96, 96, 3), jnp.float32))
+
+    obj_ids = sorted(frame.poses)
+    fe = FrameEstimator(pipe, canvas=240, refine_iterations=1, seg_model=seg)
+    poses = fe.run(
+        variables, jnp.asarray(frame.color),
+        jnp.asarray(frame.depth, jnp.float32),
+        jnp.zeros_like(jnp.asarray(frame.label, jnp.int32)),  # ignored
+        jnp.asarray(obj_ids, jnp.int32),
+        jnp.stack([jnp.asarray(models[o]) for o in obj_ids]),
+        jnp.asarray([frame.intrinsics[k] for k in
+                     ("cx", "cy", "fx", "fy", "cam_scale")], jnp.float32),
+        jax.random.key(2), seg_variables=seg_vars)
+    assert np.isfinite(np.asarray(poses.quat)).all()
+    assert poses.valid.shape == (3,)
