@@ -54,7 +54,15 @@ def evaluate_full_pipeline(
     num_points: Optional[int] = None,
     min_mask_pixels: int = 50,
     save_mat_dir: str = "",
+    device_pipeline: bool = False,  # run the single-jit frame program
+    seg_variables=None,             # with device_pipeline: SegNet inside it
+    seg_model=None,
 ) -> FullPipelineResult:
+    if device_pipeline:
+        return _evaluate_device_pipeline(
+            pipe, variables, frames, models, sym_list, refine_iterations,
+            seg_predict, crop_canvas, num_points, min_mask_pixels,
+            save_mat_dir, seg_model, seg_variables)
     n_pts = num_points or pipe.num_points
     # sequential mask providers (PoseCNNMasks) track frame order internally
     if seg_predict is not None and hasattr(seg_predict, "reset"):
@@ -99,6 +107,88 @@ def evaluate_full_pipeline(
             dists.append(dis)
             frame_poses[obj_id] = np.concatenate(
                 [np.asarray(est.quat[bi]), np.asarray(est.trans[bi])])
+        result.per_frame_poses.append(frame_poses)
+        result.num_frames += 1
+
+        if save_mat_dir:
+            import scipy.io as sio
+            os.makedirs(save_mat_dir, exist_ok=True)
+            sio.savemat(
+                os.path.join(save_mat_dir, f"{fi:06d}.mat"),
+                {"poses": np.stack(list(frame_poses.values()))
+                 if frame_poses else np.zeros((0, 7)),
+                 "cls_indexes": np.asarray(list(frame_poses), np.int32)})
+
+    result.num_objects = len(dists)
+    if dists:
+        result.auc = compute_auc(dists)
+        result.under_2cm = success_rate(dists, 0.02)
+        result.mean_distance = float(np.mean(dists))
+    return result
+
+
+def _evaluate_device_pipeline(pipe, variables, frames, models, sym_list,
+                              refine_iterations, seg_predict, crop_canvas,
+                              num_points, min_mask_pixels, save_mat_dir,
+                              seg_model, seg_variables) -> FullPipelineResult:
+    """The same protocol through the single-jit frame program
+    (plr2_tpu/serving.py): one XLA dispatch per frame instead of a host
+    crop/stack round-trip per object. Object slots are padded to the max
+    per-frame object count so every frame reuses one compiled program."""
+    from plr2_tpu.serving import FrameEstimator
+
+    frames = list(frames)
+    result = FullPipelineResult()
+    if not frames:
+        return result
+    k_slots = max(len(f.poses) for f in frames)
+    h, w = frames[0].depth.shape
+    fe = FrameEstimator(pipe, canvas=crop_canvas, img_h=h, img_w=w,
+                        refine_iterations=refine_iterations,
+                        min_mask_pixels=min_mask_pixels, seg_model=seg_model)
+    if seg_predict is not None and hasattr(seg_predict, "reset"):
+        seg_predict.reset()
+    key = jax.random.key(0)
+    dists: List[float] = []
+
+    for fi, frame in enumerate(frames):
+        label = (seg_predict(frame.color) if seg_predict is not None
+                 else frame.label)
+        obj_ids = sorted(frame.poses)
+        if not obj_ids:
+            result.num_frames += 1
+            result.per_frame_poses.append({})
+            continue
+        pad = k_slots - len(obj_ids)
+        oid = np.asarray(obj_ids + [0] * pad, np.int32)
+        mps = np.stack([models[o] for o in obj_ids]
+                       + [models[obj_ids[0]]] * pad)
+        tr = np.stack([frame.poses[o][0] for o in obj_ids]
+                      + [np.eye(3, dtype=np.float32)] * pad)
+        tt = np.stack([frame.poses[o][1] for o in obj_ids]
+                      + [np.zeros(3, np.float32)] * pad)
+        intr = jnp.asarray([frame.intrinsics[k] for k in
+                            ("cx", "cy", "fx", "fy", "cam_scale")],
+                           jnp.float32)
+        key, sub = jax.random.split(key)
+        poses, samples = fe.run_with_samples(
+            variables, jnp.asarray(frame.color),
+            jnp.asarray(frame.depth, jnp.float32),
+            jnp.asarray(label, jnp.int32), jnp.asarray(oid),
+            jnp.asarray(mps), intr, sub, seg_variables=seg_variables,
+            target_r=jnp.asarray(tr), target_t=jnp.asarray(tt))
+
+        valid = np.asarray(poses.valid)
+        frame_poses = {}
+        for bi, obj_id in enumerate(obj_ids):
+            if not valid[bi]:
+                continue
+            dis = float(pose_distance(
+                samples.model_points[bi], poses.quat[bi], poses.trans[bi],
+                samples.target[bi], symmetric=(obj_id - 1) in sym_list))
+            dists.append(dis)
+            frame_poses[obj_id] = np.concatenate(
+                [np.asarray(poses.quat[bi]), np.asarray(poses.trans[bi])])
         result.per_frame_poses.append(frame_poses)
         result.num_frames += 1
 

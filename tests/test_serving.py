@@ -182,3 +182,31 @@ def test_frame_program_with_on_device_segnet(scene):
         jax.random.key(2), seg_variables=seg_vars)
     assert np.isfinite(np.asarray(poses.quat)).all()
     assert poses.valid.shape == (3,)
+
+
+def test_device_pipeline_eval_matches_host_mode(scene):
+    """evaluate_full_pipeline(device_pipeline=True) reproduces the host
+    mode exactly on the deterministic wrap-sampling path (the modes split
+    keys differently, but wrap sampling ignores the key, and eval runs
+    with add_noise=False so no other randomness exists)."""
+    from plr2_tpu.eval.full_pipeline import evaluate_full_pipeline
+    from plr2_tpu.pipeline import DenseFusionPipeline
+
+    frame, models = scene
+    max_pix = max(int(((frame.label == o) & (frame.depth > 0)).sum())
+                  for o in frame.poses)
+    n_pts = max_pix + 16
+    pipe = DenseFusionPipeline(num_points=n_pts, num_objects=3)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+
+    kwargs = dict(sym_list=(), refine_iterations=1)
+    host = evaluate_full_pipeline(pipe, variables, [frame], models, **kwargs)
+    dev = evaluate_full_pipeline(pipe, variables, [frame], models,
+                                 device_pipeline=True, **kwargs)
+    assert dev.num_objects == host.num_objects == len(frame.poses)
+    assert dev.num_frames == host.num_frames == 1
+    np.testing.assert_allclose(dev.mean_distance, host.mean_distance,
+                               rtol=1e-4, atol=1e-5)
+    for oid in frame.poses:
+        np.testing.assert_allclose(dev.per_frame_poses[0][oid],
+                                   host.per_frame_poses[0][oid], atol=5e-5)

@@ -29,9 +29,14 @@ def main():
                    help="results_PoseCNN_RSS2018-style dir of %%06d.mat "
                         "segmentations to use as masks (reference eval_ycb "
                         "protocol; implies --full_pipeline)")
+    p.add_argument("--device_pipeline", action="store_true",
+                   help="run the full pipeline as ONE XLA program per "
+                        "frame (plr2_tpu/serving.py: on-device bbox/crop/"
+                        "preprocess + batched estimate; implies "
+                        "--full_pipeline)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
-    if args.save_mat or args.posecnn_results:
+    if args.save_mat or args.posecnn_results or args.device_pipeline:
         args.full_pipeline = True
 
     import jax
@@ -93,7 +98,8 @@ def main():
             sym_list=cfg.dataset.sym_list,
             refine_iterations=args.refine_iterations,
             seg_predict=seg_predict,
-            save_mat_dir=args.save_mat)
+            save_mat_dir=args.save_mat,
+            device_pipeline=args.device_pipeline)
         print(f"ADD-S AUC (<0.1 m): {res.auc:.2f}")
         print(f"ADD-S < 2 cm:       {res.under_2cm * 100:.2f}%")
         print(f"mean distance:      {res.mean_distance:.4f} m "
