@@ -65,6 +65,7 @@ class FrameEstimator:
         self.min_mask_pixels = min_mask_pixels
         self.seg_model = seg_model
         self._run = jax.jit(self._program)
+        self._run_frames = jax.jit(self._program_frames)
 
     # -- per-object: mask -> bbox -> canvas crop -> fused preprocessing --
 
@@ -101,36 +102,65 @@ class FrameEstimator:
         valid = (obj_id > 0) & (npix >= self.min_mask_pixels)
         return sample, valid
 
-    def _program(self, variables, color, depth, label, obj_ids,
-                 model_points, target_r, target_t, intr_vec, key,
-                 seg_variables=None):
-        c = self.canvas
-        if self.seg_model is not None:
-            # on-device segmentation; frame dims padded to the SegNet's
-            # 32-pixel pool grid
-            ph = -(-self.img_h // 32) * 32 - self.img_h
-            pw = -(-self.img_w // 32) * 32 - self.img_w
-            norm = (color.astype(jnp.float32)[None] / 255.0 - 0.5) / 0.5
-            norm = jnp.pad(norm, ((0, 0), (0, ph), (0, pw), (0, 0)))
-            logits = self.seg_model.apply(seg_variables, norm)
-            label = jnp.argmax(logits[0, :self.img_h, :self.img_w], axis=-1)
-            label = label.astype(jnp.int32)
+    def _segment(self, seg_variables, colors):
+        """(F, H, W, 3) uint8 -> (F, H, W) int32 labels on device."""
+        ph = -(-self.img_h // 32) * 32 - self.img_h
+        pw = -(-self.img_w // 32) * 32 - self.img_w
+        norm = (colors.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        norm = jnp.pad(norm, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        logits = self.seg_model.apply(seg_variables, norm)
+        return jnp.argmax(logits[:, :self.img_h, :self.img_w],
+                          axis=-1).astype(jnp.int32)
 
+    def _frame_samples(self, color, depth, label, obj_ids, model_points,
+                       target_r, target_t, intr_vec, key):
+        """One frame -> K preprocessed samples + validity."""
+        c = self.canvas
         color = jnp.pad(color, ((0, c), (0, c), (0, 0)))
         depth = jnp.pad(depth, ((0, c), (0, c)))
         label = jnp.pad(label, ((0, c), (0, c)))
-
         keys = jax.random.split(key, obj_ids.shape[0])
-        samples, valid = jax.vmap(
+        return jax.vmap(
             lambda o, m, tr, tt, k: self._sample_one(
                 color, depth, label, intr_vec, o, m, tr, tt, k)
         )(obj_ids, model_points, target_r, target_t, keys)
 
+    def _program(self, variables, color, depth, label, obj_ids,
+                 model_points, target_r, target_t, intr_vec, key,
+                 seg_variables=None):
+        if self.seg_model is not None:
+            label = self._segment(seg_variables, color[None])[0]
+        samples, valid = self._frame_samples(
+            color, depth, label, obj_ids, model_points, target_r, target_t,
+            intr_vec, key)
         est = self.pipe.estimate(variables, samples.img, samples.points,
                                  samples.choose, samples.idx,
                                  refine_iterations=self.refine_iterations)
         return FramePoses(quat=est.quat, trans=est.trans,
                           confidence=est.confidence, valid=valid), samples
+
+    def _program_frames(self, variables, colors, depths, labels, obj_ids,
+                        model_points, target_r, target_t, intr_vecs, keys,
+                        seg_variables=None):
+        """Batched variant: F frames x K slots in one program. The crops
+        flatten to one (F*K)-batch through PoseNet/refine — small
+        per-frame object counts underfill the MXU alone."""
+        f, k = obj_ids.shape[:2]
+        if self.seg_model is not None:
+            labels = self._segment(seg_variables, colors)
+        samples, valid = jax.vmap(self._frame_samples)(
+            colors, depths, labels, obj_ids, model_points, target_r,
+            target_t, intr_vecs, keys)
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((f * k,) + x.shape[2:]), samples)
+        est = self.pipe.estimate(variables, flat.img, flat.points,
+                                 flat.choose, flat.idx,
+                                 refine_iterations=self.refine_iterations)
+        poses = FramePoses(
+            quat=est.quat.reshape(f, k, 4),
+            trans=est.trans.reshape(f, k, 3),
+            confidence=est.confidence.reshape(f, k), valid=valid)
+        return poses, samples
 
     # -- public surface --
 
@@ -165,3 +195,19 @@ class FrameEstimator:
         return self._run(variables, color, depth, label, obj_ids,
                          model_points, target_r, target_t, intr_vec,
                          key, seg_variables)
+
+    def run_frames(self, variables, colors, depths, labels, obj_ids,
+                   model_points, intr_vecs, keys, seg_variables=None,
+                   target_r=None, target_t=None) -> FramePoses:
+        """Batched serving: F frames at once (leading F axis on every
+        argument; obj_ids (F, K)). Returns FramePoses with (F, K, ...)
+        fields. Throughput mode — the F*K crops share one PoseNet batch."""
+        f, k = obj_ids.shape[:2]
+        if target_r is None:
+            target_r = jnp.broadcast_to(jnp.eye(3), (f, k, 3, 3))
+        if target_t is None:
+            target_t = jnp.zeros((f, k, 3))
+        poses, _ = self._run_frames(variables, colors, depths, labels,
+                                    obj_ids, model_points, target_r,
+                                    target_t, intr_vecs, keys, seg_variables)
+        return poses

@@ -210,3 +210,41 @@ def test_device_pipeline_eval_matches_host_mode(scene):
     for oid in frame.poses:
         np.testing.assert_allclose(dev.per_frame_poses[0][oid],
                                    host.per_frame_poses[0][oid], atol=5e-5)
+
+
+def test_run_frames_matches_single_frame_runs(scene):
+    """run_frames(F=2) must equal two run() calls with the same per-frame
+    keys (eval-mode BN -> batch-size independence)."""
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.serving import FrameEstimator
+
+    frame, models = scene
+    pipe = DenseFusionPipeline(num_points=64, num_objects=3)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+    obj_ids = sorted(frame.poses)
+    intr = jnp.asarray([frame.intrinsics[k] for k in
+                        ("cx", "cy", "fx", "fy", "cam_scale")], jnp.float32)
+    mps = jnp.stack([jnp.asarray(models[o]) for o in obj_ids])
+    fe = FrameEstimator(pipe, canvas=240, refine_iterations=2)
+
+    keys = jax.random.split(jax.random.key(5), 2)
+    singles = [fe.run(variables, jnp.asarray(frame.color),
+                      jnp.asarray(frame.depth, jnp.float32),
+                      jnp.asarray(frame.label, jnp.int32),
+                      jnp.asarray(obj_ids, jnp.int32), mps, intr, kk)
+               for kk in keys]
+
+    tile = lambda x: jnp.stack([jnp.asarray(x)] * 2)
+    batched = fe.run_frames(
+        variables, tile(frame.color),
+        tile(frame.depth.astype(np.float32)),
+        tile(frame.label.astype(np.int32)),
+        tile(np.asarray(obj_ids, np.int32)), tile(np.asarray(mps)),
+        tile(np.asarray(intr)), keys)
+    for fi in range(2):
+        np.testing.assert_allclose(np.asarray(batched.quat[fi]),
+                                   np.asarray(singles[fi].quat), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(batched.trans[fi]),
+                                   np.asarray(singles[fi].trans), atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(batched.valid[fi]),
+                                      np.asarray(singles[fi].valid))

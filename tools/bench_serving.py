@@ -27,9 +27,12 @@ def main():
     use_seg = "--seg" in sys.argv
     bf16 = "--f32" not in sys.argv
     refine_iterations = 4
+    n_frames = 1
     for a in sys.argv[1:]:
         if a.startswith("--iters="):
             refine_iterations = int(a.split("=", 1)[1])
+        if a.startswith("--frames="):
+            n_frames = int(a.split("=", 1)[1])
     n_points, num_objects, canvas = 1000, 21, 240
     inner, reps = 8, 3
 
@@ -76,12 +79,24 @@ def main():
     tr = jnp.broadcast_to(jnp.eye(3), (k_obj, 3, 3))
     tt = jnp.zeros((k_obj, 3))
 
+    if n_frames > 1:
+        tile = lambda x: jnp.stack([x] * n_frames)
+        fcolor, fdepth, flabel = tile(color), tile(depth), tile(label)
+        foid, fmps, fintr = tile(oid), tile(mps), tile(intr)
+        ftr, ftt = tile(tr), tile(tt)
+        fkeys = jax.random.split(key, n_frames)
+
     @jax.jit
     def loop(depth):
         def body(i, prev):
-            poses, _ = fe._program(variables, color, depth + prev * 1e-12,
-                                   label, oid, mps, tr, tt, intr, key,
-                                   seg_vars)
+            if n_frames > 1:
+                poses, _ = fe._program_frames(
+                    variables, fcolor, fdepth + prev * 1e-12, flabel, foid,
+                    fmps, ftr, ftt, fintr, fkeys, seg_vars)
+            else:
+                poses, _ = fe._program(variables, color, depth + prev * 1e-12,
+                                       label, oid, mps, tr, tt, intr, key,
+                                       seg_vars)
             out = (jnp.sum(poses.quat.astype(jnp.float32)) +
                    jnp.sum(poses.trans.astype(jnp.float32)) +
                    jnp.sum(poses.confidence.astype(jnp.float32)) +
@@ -104,8 +119,9 @@ def main():
     for _ in range(reps):
         np.asarray(loop(depth))
     total = (time.perf_counter() - t0) / reps
-    per_frame = max(total - overhead, 1e-9) / inner
-    mode = f"seg={use_seg}, bf16={bf16}, K={k_obj}, refine={refine_iterations}"
+    per_frame = max(total - overhead, 1e-9) / inner / n_frames
+    mode = (f"seg={use_seg}, bf16={bf16}, K={k_obj}, "
+            f"refine={refine_iterations}, frames={n_frames}")
     print(f"full-frame serving ({mode}): {per_frame * 1e3:.2f} ms/frame, "
           f"{1.0 / per_frame:.1f} frames/s, "
           f"{k_obj / per_frame:.1f} object-poses/s", flush=True)
