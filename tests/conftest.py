@@ -9,9 +9,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# On hosts with fewer CPUs than virtual devices the 8 per-device programs
+# timeshare one core, so XLA's in-process collective rendezvous (default
+# warn 20s / TERMINATE 40s) can kill the whole process while the slower
+# devices are still queued — raise both timeouts. Verified on a 1-CPU box:
+# test_parallel aborted at the 40s default and passes with this.
+if "collective_call_terminate_timeout" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
