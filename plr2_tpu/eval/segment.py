@@ -60,15 +60,15 @@ def write_segnet_results(
     return written
 
 
-def segnet_predictor(variables, num_classes: int = 14):
-    """Wrap a trained in-repo SegNet into the predict_labels callable.
+def segnet_predictor(variables, num_classes: int = 14, arch: str = "segnet"):
+    """Wrap a trained in-repo segmenter into the predict_labels callable.
 
     Normalization matches SegTrainer.train_epoch ((x/255 - 0.5) / 0.5)."""
     import jax.numpy as jnp
 
     from plr2_tpu.train.seg_trainer import SegTrainer
 
-    trainer = SegTrainer(num_classes=num_classes)
+    trainer = SegTrainer(num_classes=num_classes, arch=arch)
 
     def predict(color: np.ndarray) -> np.ndarray:
         x = (jnp.asarray(color, jnp.float32) / 255.0 - 0.5) / 0.5

@@ -94,3 +94,31 @@ def segmentation_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     logp = nn.log_softmax(logits, axis=-1)
     onehot = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     return -jnp.mean(onehot)
+
+
+def build_segmenter(arch: str, num_classes: int, dtype: Any = jnp.float32):
+    """Segmentation architectures usable everywhere a seg model is consumed
+    (SegTrainer, FrameEstimator's on-device segmentation, segnet_results
+    rendering).
+
+    "segnet"  — the reference-parity VGG16 encoder-decoder above
+                (vanilla_segmentation/segnet.py).
+    "pspnet"  — the repo's PSPNet (dilated ResNet-18 trunk at stride 8 +
+                pyramid pooling) with a per-pixel classifier head. Far less
+                full-resolution conv work than VGG16 (which runs 13 conv
+                layers at frame resolution both ways): the serving-mode
+                segmentation lever when the frame segmenter, not the pose
+                network, is the bottleneck (docs/PERF_NOTES.md).
+
+    Both take (B, H, W, 3) normalized frames (H, W multiples of 32 — the
+    callers pad) and return (B, H, W, num_classes) logits.
+    """
+    if arch == "segnet":
+        return SegNet(num_classes=num_classes, dtype=dtype)
+    if arch == "pspnet":
+        from plr2_tpu.models.pspnet import PSPNet
+
+        return PSPNet(emb_dim=num_classes, log_softmax_final=False,
+                      phase_upsample=True, dtype=dtype)
+    raise ValueError(f"unknown segmenter arch {arch!r} "
+                     "(expected 'segnet' or 'pspnet')")

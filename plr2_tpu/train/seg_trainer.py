@@ -41,8 +41,10 @@ def frame_crops(frames, crop: int, batch: int, key: np.random.Generator
 
 class SegTrainer:
     def __init__(self, num_classes: int = 22, lr: float = 1e-4,
-                 crop: int = 128, batch: int = 3):
-        self.model = SegNet(num_classes=num_classes)
+                 crop: int = 128, batch: int = 3, arch: str = "segnet"):
+        from plr2_tpu.models.segnet import build_segmenter
+
+        self.model = build_segmenter(arch, num_classes)
         self.tx = optax.adam(lr)
         self.crop = crop
         self.batch = batch
@@ -55,11 +57,12 @@ class SegTrainer:
                 "best_loss": float("inf")}
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def train_step(self, variables, opt_state, img, labels):
+    def train_step(self, variables, opt_state, img, labels, key):
         def loss_fn(params):
             logits, mut = self.model.apply(
                 {"params": params, "batch_stats": variables["batch_stats"]},
-                img, train=True, mutable=["batch_stats"])
+                img, train=True, mutable=["batch_stats"],
+                rngs={"dropout": key})
             return segmentation_loss(logits, labels), mut["batch_stats"]
 
         (loss, bstats), grads = jax.value_and_grad(
@@ -91,12 +94,14 @@ class SegTrainer:
         losses = []
         t0 = time.time()
         order = rng.permutation(len(frames))
-        for img, labels in frame_crops([frames[i] for i in order],
-                                       self.crop, self.batch, rng):
+        epoch_key = jax.random.key(seed)
+        for step, (img, labels) in enumerate(frame_crops(
+                [frames[i] for i in order], self.crop, self.batch, rng)):
             norm = (jnp.asarray(img, jnp.float32) / 255.0 - 0.5) / 0.5
             state["variables"], state["opt_state"], loss = self.train_step(
                 state["variables"], state["opt_state"], norm,
-                jnp.asarray(labels, jnp.int32))
+                jnp.asarray(labels, jnp.int32),
+                jax.random.fold_in(epoch_key, step))
             losses.append(float(loss))
         return {**state, "last_epoch_loss": float(np.mean(losses)),
                 "seconds": time.time() - t0}

@@ -76,3 +76,30 @@ def test_full_pipeline_with_segnet_masks():
     assert res.num_frames == 1
     # at least one object found through the predicted masks
     assert res.num_objects >= 1
+
+
+def test_pspnet_segmenter_arch_trains():
+    """build_segmenter('pspnet') (light serving segmenter) runs through the
+    same SegTrainer: BN stats + dropout rng handled, loss decreases."""
+    import types
+
+    from plr2_tpu.train.seg_trainer import SegTrainer
+
+    frame, _ = make_scene(num_objects=2, model_points=200, seed=5)
+    trainer = SegTrainer(num_classes=4, crop=64, batch=2, lr=5e-4,
+                         arch="pspnet")
+    state = trainer.init_state(jax.random.key(0))
+    crops = []
+    for obj_id in frame.poses:
+        rows, cols = np.nonzero(frame.label == obj_id)
+        r0 = int(np.clip(rows.mean() - 32, 0, frame.label.shape[0] - 64))
+        c0 = int(np.clip(cols.mean() - 32, 0, frame.label.shape[1] - 64))
+        crops.append(types.SimpleNamespace(
+            color=frame.color[r0:r0 + 64, c0:c0 + 64],
+            label=frame.label[r0:r0 + 64, c0:c0 + 64]))
+    state = trainer.train_epoch(state, crops, seed=0)
+    first = state["last_epoch_loss"]
+    for e in range(1, 6):
+        state = trainer.train_epoch(state, crops, seed=e)
+    assert np.isfinite(state["last_epoch_loss"])
+    assert state["last_epoch_loss"] < first

@@ -184,6 +184,38 @@ def test_frame_program_with_on_device_segnet(scene):
     assert poses.valid.shape == (3,)
 
 
+def test_frame_program_with_pspnet_segmenter():
+    """The light PSPNet segmenter (build_segmenter('pspnet')) drives the
+    same on-device segmentation path as SegNet — the serving-mode lever
+    when the full-frame VGG16 is the bottleneck (docs/PERF_NOTES.md)."""
+    from plr2_tpu.data.synthetic import make_scene
+    from plr2_tpu.models.segnet import build_segmenter
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.serving import FrameEstimator
+
+    frame, models = make_scene(num_objects=2, model_points=200, seed=11,
+                               img_h=192, img_w=256)
+    pipe = DenseFusionPipeline(num_points=32, num_objects=3)
+    variables = pipe.init(jax.random.key(0), crop_hw=96, batch=1)
+    seg = build_segmenter("pspnet", num_classes=3)
+    seg_vars = seg.init(jax.random.key(3), jnp.zeros((1, 96, 96, 3)))
+
+    obj_ids = sorted(frame.poses)
+    fe = FrameEstimator(pipe, canvas=96, img_h=192, img_w=256,
+                        refine_iterations=1, seg_model=seg)
+    poses = fe.run(
+        variables, jnp.asarray(frame.color),
+        jnp.asarray(frame.depth, jnp.float32),
+        jnp.zeros_like(jnp.asarray(frame.label, jnp.int32)),  # ignored
+        jnp.asarray(obj_ids, jnp.int32),
+        jnp.stack([jnp.asarray(models[o]) for o in obj_ids]),
+        jnp.asarray([frame.intrinsics[k] for k in
+                     ("cx", "cy", "fx", "fy", "cam_scale")], jnp.float32),
+        jax.random.key(2), seg_variables=seg_vars)
+    assert np.isfinite(np.asarray(poses.quat)).all()
+    assert poses.valid.shape == (2,)
+
+
 def test_device_pipeline_eval_matches_host_mode(scene):
     """evaluate_full_pipeline(device_pipeline=True) reproduces the host
     mode exactly on the deterministic wrap-sampling path (the modes split

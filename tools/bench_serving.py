@@ -3,7 +3,8 @@
 RGB-D frame -> [SegNet] -> masks -> device bbox -> canvas crops -> fused
 preprocessing -> batched PoseNet -> 4-iter refine, chained-loop timed.
 
-  python tools/bench_serving.py [K_objects] [--seg] [--f32] [--iters=N]
+  python tools/bench_serving.py [K_objects] [--seg] [--seg_arch=pspnet]
+      [--f32] [--iters=N] [--frames=F]
 """
 
 import os
@@ -24,15 +25,18 @@ enable_compilation_cache()
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k_obj = int(args[0]) if args else 5
-    use_seg = "--seg" in sys.argv
+    use_seg = any(a == "--seg" or a.startswith("--seg_arch") for a in sys.argv)
     bf16 = "--f32" not in sys.argv
     refine_iterations = 4
     n_frames = 1
+    seg_arch = "segnet"
     for a in sys.argv[1:]:
         if a.startswith("--iters="):
             refine_iterations = int(a.split("=", 1)[1])
         if a.startswith("--frames="):
             n_frames = int(a.split("=", 1)[1])
+        if a.startswith("--seg_arch="):
+            seg_arch = a.split("=", 1)[1]
     n_points, num_objects, canvas = 1000, 21, 240
     inner, reps = 8, 3
 
@@ -49,9 +53,9 @@ def main():
 
     seg_model = seg_vars = None
     if use_seg:
-        from plr2_tpu.models.segnet import SegNet
+        from plr2_tpu.models.segnet import build_segmenter
 
-        seg_model = SegNet(num_classes=num_objects + 1, dtype=dtype)
+        seg_model = build_segmenter(seg_arch, num_objects + 1, dtype=dtype)
         seg_vars = seg_model.init(jax.random.key(1),
                                   jnp.zeros((1, 96, 96, 3), dtype))
         if bf16:
@@ -120,7 +124,7 @@ def main():
         np.asarray(loop(depth))
     total = (time.perf_counter() - t0) / reps
     per_frame = max(total - overhead, 1e-9) / inner / n_frames
-    mode = (f"seg={use_seg}, bf16={bf16}, K={k_obj}, "
+    mode = (f"seg={seg_arch if use_seg else False}, bf16={bf16}, K={k_obj}, "
             f"refine={refine_iterations}, frames={n_frames}")
     print(f"full-frame serving ({mode}): {per_frame * 1e3:.2f} ms/frame, "
           f"{1.0 / per_frame:.1f} frames/s, "

@@ -28,6 +28,8 @@ def main():
                    help="output segnet_results directory")
     p.add_argument("--num_classes", type=int, default=14,
                    help="background + objlist classes")
+    p.add_argument("--arch", type=str, default="segnet",
+                   choices=("segnet", "pspnet"))
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -41,11 +43,12 @@ def main():
     from plr2_tpu.train.checkpoint import load_variables
     from plr2_tpu.train.seg_trainer import SegTrainer
 
-    trainer = SegTrainer(num_classes=args.num_classes)
+    trainer = SegTrainer(num_classes=args.num_classes, arch=args.arch)
     template = trainer.init_state(jax.random.key(0))["variables"]
     variables = load_variables(args.model, template)
     n = write_segnet_results(args.dataset_root, args.out,
-                             segnet_predictor(variables, args.num_classes),
+                             segnet_predictor(variables, args.num_classes,
+                                              arch=args.arch),
                              split=args.split)
     print(f"wrote {n} predicted masks under {args.out}")
 

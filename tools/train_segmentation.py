@@ -20,6 +20,10 @@ def main():
     p.add_argument("--batch_size", type=int, default=3)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--num_classes", type=int, default=22)
+    p.add_argument("--arch", type=str, default="segnet",
+                   choices=("segnet", "pspnet"),
+                   help="segnet = reference-parity VGG16; pspnet = light "
+                        "ResNet-18 stride-8 segmenter for serving")
     p.add_argument("--crop", type=int, default=128)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--logs_path", type=str, default="experiments/logs/seg")
@@ -55,7 +59,8 @@ def main():
     from plr2_tpu.train.checkpoint import save_variables
 
     trainer = SegTrainer(num_classes=args.num_classes, lr=args.lr,
-                         crop=args.crop, batch=args.batch_size)
+                         crop=args.crop, batch=args.batch_size,
+                         arch=args.arch)
     state = trainer.init_state(jax.random.key(0))
     for epoch in range(1, args.nepoch + 1):
         state = trainer.train_epoch(state, frames, seed=epoch)
