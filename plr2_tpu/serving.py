@@ -54,9 +54,11 @@ class FrameEstimator:
     def __init__(self, pipe: DenseFusionPipeline, *, canvas: int = 240,
                  img_h: int = 480, img_w: int = 640,
                  refine_iterations: int = 4, min_mask_pixels: int = 50,
-                 seg_model: Any = None):
+                 seg_model: Any = None, seg_scale: int = 1):
         if canvas > img_h or canvas > img_w:
             raise ValueError("canvas must fit inside the frame")
+        if seg_scale < 1:
+            raise ValueError("seg_scale must be >= 1")
         self.pipe = pipe
         self.canvas = canvas
         self.img_h = img_h
@@ -64,6 +66,7 @@ class FrameEstimator:
         self.refine_iterations = refine_iterations
         self.min_mask_pixels = min_mask_pixels
         self.seg_model = seg_model
+        self.seg_scale = seg_scale
         self._run = jax.jit(self._program)
         self._run_frames = jax.jit(self._program_frames)
 
@@ -103,14 +106,30 @@ class FrameEstimator:
         return sample, valid
 
     def _segment(self, seg_variables, colors):
-        """(F, H, W, 3) uint8 -> (F, H, W) int32 labels on device."""
-        ph = -(-self.img_h // 32) * 32 - self.img_h
-        pw = -(-self.img_w // 32) * 32 - self.img_w
+        """(F, H, W, 3) uint8 -> (F, H, W) int32 labels on device.
+
+        With seg_scale=s > 1 the segmenter runs on an s-times-downsampled
+        frame (s x s average pool) and the predicted labels are nearest-
+        upsampled back — ~s^2 less segmenter compute and decoder HBM
+        traffic, at s-pixel mask quantization (the border-list bbox snap
+        absorbs most of it). Opt-in accuracy/throughput trade."""
+        s = self.seg_scale
+        unit = 32 * s
+        ph = -(-self.img_h // unit) * unit - self.img_h
+        pw = -(-self.img_w // unit) * unit - self.img_w
         norm = (colors.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         norm = jnp.pad(norm, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        if s > 1:
+            f, h, w, c = norm.shape
+            norm = norm.reshape(f, h // s, s, w // s, s, c).mean(axis=(2, 4))
         logits = self.seg_model.apply(seg_variables, norm)
-        return jnp.argmax(logits[:, :self.img_h, :self.img_w],
-                          axis=-1).astype(jnp.int32)
+        labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if s > 1:
+            f, h, w = labels.shape
+            labels = jnp.broadcast_to(labels[:, :, None, :, None],
+                                      (f, h, s, w, s))
+            labels = labels.reshape(f, h * s, w * s)
+        return labels[:, :self.img_h, :self.img_w]
 
     def _frame_samples(self, color, depth, label, obj_ids, model_points,
                        target_r, target_t, intr_vec, key):

@@ -216,6 +216,29 @@ def test_frame_program_with_pspnet_segmenter():
     assert poses.valid.shape == (2,)
 
 
+def test_segment_at_reduced_resolution():
+    """seg_scale=s: the segmenter sees an s-pooled frame and its labels are
+    nearest-upsampled — output is full-size and constant on s x s blocks."""
+    from plr2_tpu.models.segnet import build_segmenter
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.serving import FrameEstimator
+
+    pipe = DenseFusionPipeline(num_points=16, num_objects=2)
+    seg = build_segmenter("pspnet", num_classes=3)
+    seg_vars = seg.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    fe = FrameEstimator(pipe, canvas=64, img_h=64, img_w=96,
+                        seg_model=seg, seg_scale=2)
+    colors = (np.random.default_rng(0).integers(0, 256, (1, 64, 96, 3))
+              .astype(np.uint8))
+    labels = np.asarray(fe._segment(seg_vars, jnp.asarray(colors)))
+    assert labels.shape == (1, 64, 96)
+    blocks = labels.reshape(1, 32, 2, 48, 2)
+    assert (blocks == blocks[:, :, :1, :, :1]).all()
+    with pytest.raises(ValueError):
+        FrameEstimator(pipe, canvas=64, img_h=64, img_w=96,
+                       seg_model=seg, seg_scale=0)
+
+
 def test_device_pipeline_eval_matches_host_mode(scene):
     """evaluate_full_pipeline(device_pipeline=True) reproduces the host
     mode exactly on the deterministic wrap-sampling path (the modes split

@@ -37,6 +37,10 @@ def main():
             n_frames = int(a.split("=", 1)[1])
         if a.startswith("--seg_arch="):
             seg_arch = a.split("=", 1)[1]
+    seg_scale = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--seg_scale="):
+            seg_scale = int(a.split("=", 1)[1])
     n_points, num_objects, canvas = 1000, 21, 240
     inner, reps = 8, 3
 
@@ -70,7 +74,7 @@ def main():
 
     fe = FrameEstimator(pipe, canvas=canvas,
                         refine_iterations=refine_iterations,
-                        seg_model=seg_model)
+                        seg_model=seg_model, seg_scale=seg_scale)
     color = jnp.asarray(frame.color)
     depth = jnp.asarray(frame.depth, jnp.float32)
     label = jnp.asarray(frame.label, jnp.int32)
@@ -124,7 +128,8 @@ def main():
         np.asarray(loop(depth))
     total = (time.perf_counter() - t0) / reps
     per_frame = max(total - overhead, 1e-9) / inner / n_frames
-    mode = (f"seg={seg_arch if use_seg else False}, bf16={bf16}, K={k_obj}, "
+    mode = (f"seg={seg_arch if use_seg else False}, seg_scale={seg_scale}, "
+            f"bf16={bf16}, K={k_obj}, "
             f"refine={refine_iterations}, frames={n_frames}")
     print(f"full-frame serving ({mode}): {per_frame * 1e3:.2f} ms/frame, "
           f"{1.0 / per_frame:.1f} frames/s, "
