@@ -26,3 +26,24 @@ def enable_compilation_cache(path: str | None = None) -> str:
     except Exception:
         pass  # older jax without these flags
     return cache_dir
+
+
+def enable_cpu_compilation_cache() -> str:
+    """Persistent cache for CPU-backend compiles, keyed by the host CPU
+    model+flags: CPU AOT artifacts use host ISA extensions, so a cache dir
+    shared across heterogeneous VMs risks SIGILL — a per-CPU-tag dir is
+    safe, and makes suite/dryrun reruns on the same host skip recompiles."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            lines = f.read().splitlines()
+        key = "\n".join(
+            next((l for l in lines if l.startswith(p)), "")
+            for p in ("model name", "flags"))
+        tag = hashlib.sha1(key.encode()).hexdigest()[:10]
+    except OSError:
+        tag = "unknown"
+    root = os.path.dirname(_DEFAULT)
+    return enable_compilation_cache(
+        os.path.join(root, f".jax_cache_cpu_{tag}"))

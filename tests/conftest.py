@@ -23,6 +23,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent per-CPU-model compile cache: the suite is compile-dominated on
+# small hosts; reruns on the same box skip most XLA compiles.
+from plr2_tpu.utils.cache import enable_cpu_compilation_cache  # noqa: E402
+
+enable_cpu_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
