@@ -36,3 +36,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Drop compiled executables between test modules.
+
+    After ~160 accumulated in-process compiles the XLA CPU backend
+    aborted/segfaulted twice during further compiles (observed on a 1-CPU
+    125GB box at the same suite position on independent runs). Live
+    executables hold fds/mappings/compiler state; clearing per module
+    bounds that, and the persistent per-CPU disk cache makes any re-JIT
+    of a shared program cheap."""
+    yield
+    jax.clear_caches()
