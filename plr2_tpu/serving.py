@@ -54,7 +54,7 @@ class FrameEstimator:
     def __init__(self, pipe: DenseFusionPipeline, *, canvas: int = 240,
                  img_h: int = 480, img_w: int = 640,
                  refine_iterations: int = 4, min_mask_pixels: int = 50,
-                 seg_model: Any = None, seg_scale: int = 1):
+                 seg_model: Any = None, seg_scale: int = 1, mesh: Any = None):
         if canvas > img_h or canvas > img_w:
             raise ValueError("canvas must fit inside the frame")
         if seg_scale < 1:
@@ -67,6 +67,11 @@ class FrameEstimator:
         self.min_mask_pixels = min_mask_pixels
         self.seg_model = seg_model
         self.seg_scale = seg_scale
+        # Optional jax.sharding.Mesh with a "data" axis: run_frames shards
+        # the frame batch across chips (params replicated, no collectives
+        # in the forward — each chip serves F/n_devices frames over ICI-
+        # synchronized dispatch). F must be divisible by the mesh size.
+        self.mesh = mesh
         self._run = jax.jit(self._program)
         self._run_frames = jax.jit(self._program_frames)
 
@@ -226,6 +231,17 @@ class FrameEstimator:
             target_r = jnp.broadcast_to(jnp.eye(3), (f, k, 3, 3))
         if target_t is None:
             target_t = jnp.zeros((f, k, 3))
+        if self.mesh is not None:
+            from plr2_tpu.parallel.mesh import replicated, shard_batch
+
+            (colors, depths, labels, obj_ids, model_points, target_r,
+             target_t, intr_vecs, keys) = shard_batch(
+                self.mesh, (colors, depths, labels, obj_ids, model_points,
+                            target_r, target_t, intr_vecs, keys))
+            rep = replicated(self.mesh)
+            variables = jax.device_put(variables, rep)
+            if seg_variables is not None:
+                seg_variables = jax.device_put(seg_variables, rep)
         poses, _ = self._run_frames(variables, colors, depths, labels,
                                     obj_ids, model_points, target_r,
                                     target_t, intr_vecs, keys, seg_variables)

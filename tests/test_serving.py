@@ -239,6 +239,70 @@ def test_segment_at_reduced_resolution():
                        seg_model=seg, seg_scale=0)
 
 
+def test_run_frames_mesh_sharded_matches_single_device():
+    """FrameEstimator(mesh=...): the F-frame batch shards over the data
+    axis (params replicated) and reproduces the unsharded run exactly."""
+    from plr2_tpu.data.synthetic import make_scene
+    from plr2_tpu.parallel.mesh import make_mesh
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.serving import FrameEstimator
+
+    pipe = DenseFusionPipeline(num_points=16, num_objects=3)
+    variables = pipe.init(jax.random.key(0), crop_hw=64, batch=1)
+
+    frames, model_stack, intrs = [], [], []
+    for s in range(8):
+        frame, models = make_scene(num_objects=2, model_points=64,
+                                   seed=20 + s, img_h=96, img_w=128)
+        frames.append(frame)
+        oids = sorted(frame.poses)
+        model_stack.append(np.stack([models[o] for o in oids]))
+        intrs.append([frame.intrinsics[k] for k in
+                      ("cx", "cy", "fx", "fy", "cam_scale")])
+    colors = jnp.asarray(np.stack([f.color for f in frames]))
+    depths = jnp.asarray(np.stack([f.depth for f in frames]), jnp.float32)
+    labels = jnp.asarray(np.stack([f.label for f in frames]), jnp.int32)
+    obj_ids = jnp.asarray(np.stack([sorted(f.poses) for f in frames]),
+                          jnp.int32)
+    mps = jnp.asarray(np.stack(model_stack))
+    intr = jnp.asarray(intrs, jnp.float32)
+    keys = jax.random.split(jax.random.key(5), 8)
+
+    kwargs = dict(canvas=64, img_h=96, img_w=128, refine_iterations=1)
+    single = FrameEstimator(pipe, **kwargs)
+    sharded = FrameEstimator(pipe, mesh=make_mesh(8), **kwargs)
+    p0 = single.run_frames(variables, colors, depths, labels, obj_ids, mps,
+                           intr, keys)
+    p1 = sharded.run_frames(variables, colors, depths, labels, obj_ids, mps,
+                            intr, keys)
+    np.testing.assert_array_equal(np.asarray(p0.valid), np.asarray(p1.valid))
+    np.testing.assert_allclose(np.asarray(p0.quat), np.asarray(p1.quat),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p0.trans), np.asarray(p1.trans),
+                               atol=1e-6)
+
+
+def test_serve_cli_smoke():
+    """tools/serve.py streams JSON pose lines for synthetic frames."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "serve.py"),
+         "--synthetic", "--cpu", "--num_frames", "2", "--num_points", "64",
+         "--iters", "1", "--max_objects", "2"],
+        capture_output=True, text=True, cwd=repo, timeout=1800)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 2
+    assert all(len(l["objects"]) == 2 and "quat" in l["objects"][0]
+               for l in lines)
+
+
 def test_device_pipeline_eval_matches_host_mode(scene):
     """evaluate_full_pipeline(device_pipeline=True) reproduces the host
     mode exactly on the deterministic wrap-sampling path (the modes split
