@@ -7,7 +7,7 @@ Variants (chained fori_loop, all grads consumed):
   loss_fwd_bwd       - grad of pose_loss wrt precomputed (r, t, c)
   full_step_fwd_bwd  - grad of pose_loss(posenet(...)) wrt params
 
-  python tools/bench_train_parts.py [batch]
+  python tools/bench_train_parts.py [batch] [--bf16] [--sym_slots=K]
 """
 
 import os
@@ -60,6 +60,10 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 32
     bf16 = "--bf16" in sys.argv
+    sym_slots = None
+    for a in sys.argv[1:]:
+        if a.startswith("--sym_slots="):
+            sym_slots = int(a.split("=", 1)[1])
     crop, n_points, num_obj = 160, 1000, 21
     from plr2_tpu.losses import pose_loss
     from plr2_tpu.pipeline import DenseFusionPipeline
@@ -97,7 +101,8 @@ def main():
         def f(args):
             r, t, c = args
             out = pose_loss(r, t, c, target, model_points, obj, points,
-                            w=0.015, refine=False, sym_list=(0, 3))
+                            w=0.015, refine=False, sym_list=(0, 3),
+                            max_sym_slots=sym_slots)
             return out.loss
         val, g = jax.value_and_grad(f)((r0 + prev, t0_, c0))
         return val + tree_dot(g)
@@ -106,7 +111,8 @@ def main():
         def f(v):
             r, t, c, e = fwd(v, img + prev)
             out = pose_loss(r, t, c, target, model_points, obj, points,
-                            w=0.015, refine=False, sym_list=(0, 3))
+                            w=0.015, refine=False, sym_list=(0, 3),
+                            max_sym_slots=sym_slots)
             return out.loss
         val, g = jax.value_and_grad(f)(variables)
         return val + tree_dot(g)
