@@ -34,16 +34,27 @@ def enable_cpu_compilation_cache() -> str:
     shared across heterogeneous VMs risks SIGILL — a per-CPU-tag dir is
     safe, and makes suite/dryrun reruns on the same host skip recompiles."""
     import hashlib
+    import platform
 
     try:
         with open("/proc/cpuinfo") as f:
             lines = f.read().splitlines()
-        key = "\n".join(
-            next((l for l in lines if l.startswith(p)), "")
-            for p in ("model name", "flags"))
+        # x86 spells these "model name"/"flags"; ARM "Processor"/"Features"/
+        # "CPU part". If none match, fall back to the whole cpuinfo text —
+        # volatile fields (cpu MHz) then churn the tag across boots, which
+        # wastes cache but never aliases two ISAs to one dir.
+        picked = [l for l in lines if l.startswith(
+            ("model name", "flags", "Processor", "Features",
+             "CPU implementer", "CPU part"))]
+        key = platform.machine() + "\n".join(picked or lines)
         tag = hashlib.sha1(key.encode()).hexdigest()[:10]
     except OSError:
-        tag = "unknown"
+        tag = hashlib.sha1(
+            (platform.machine() + platform.processor()).encode()
+        ).hexdigest()[:10]
+    env_root = os.environ.get("PLR2_JAX_CACHE")
+    if env_root:
+        return enable_compilation_cache(os.path.join(env_root, f"cpu_{tag}"))
     root = os.path.dirname(_DEFAULT)
     return enable_compilation_cache(
         os.path.join(root, f".jax_cache_cpu_{tag}"))

@@ -30,6 +30,7 @@ def main():
     refine_iterations = 4
     n_frames = 1
     seg_arch = "segnet"
+    seg_scale = 1
     for a in sys.argv[1:]:
         if a.startswith("--iters="):
             refine_iterations = int(a.split("=", 1)[1])
@@ -37,10 +38,12 @@ def main():
             n_frames = int(a.split("=", 1)[1])
         if a.startswith("--seg_arch="):
             seg_arch = a.split("=", 1)[1]
-    seg_scale = 1
-    for a in sys.argv[1:]:
         if a.startswith("--seg_scale="):
             seg_scale = int(a.split("=", 1)[1])
+    if seg_scale != 1 and not use_seg:
+        sys.exit("--seg_scale only affects the segmenter; pass --seg or "
+                 "--seg_arch=... (refusing to record a no-seg number "
+                 "labeled with a seg knob)")
     n_points, num_objects, canvas = 1000, 21, 240
     inner, reps = 8, 3
 

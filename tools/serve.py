@@ -67,15 +67,20 @@ def main():
     pipe = DenseFusionPipeline(num_points=args.num_points,
                                num_objects=num_objects,
                                phase_upsample=True, dtype=dtype)
-    variables = pipe.init(jax.random.key(0), crop_hw=args.canvas, batch=1)
     if args.model:
         from plr2_tpu.config import get_preset
         from plr2_tpu.train import CheckpointManager, Trainer
 
+        mgr = CheckpointManager(args.model)
+        if mgr.restore() is None:
+            sys.exit(f"serve.py: no checkpoint found under {args.model!r} "
+                     "(refusing to serve randomly initialized weights)")
         state = Trainer(get_preset("ycb_refine"), pipe).init_state(
             jax.random.key(0))
-        state = CheckpointManager(args.model).restore_into(state)
-        variables = state.variables
+        variables = mgr.restore_into(state).variables
+    else:
+        variables = pipe.init(jax.random.key(0), crop_hw=args.canvas,
+                              batch=1)
     if args.bf16:
         variables = pipe.cast_variables(variables)
 
@@ -183,8 +188,19 @@ def main():
                      slot0=f)
             served += len(buf)
             buf = []
-        # tail short of a full batch is dropped (static-shape programs);
-        # pick --num_frames divisible by --batch to serve everything
+        # tail short of a full batch: serve the leftovers one-by-one
+        # through the single-frame program (one extra compile) rather
+        # than dropping them
+        for color, depth, label, oids, mps, intr in buf:
+            t0 = time.perf_counter()
+            poses = fe.run(variables, jnp.asarray(color),
+                           jnp.asarray(depth), jnp.asarray(label),
+                           jnp.asarray(oids), jnp.asarray(mps),
+                           jnp.asarray(intr), jax.random.key(served),
+                           seg_variables=seg_vars)
+            np.asarray(poses.quat)
+            emit(served, (time.perf_counter() - t0) * 1e3, oids, poses)
+            served += 1
     print(f"served {served} frames", file=sys.stderr)
 
 
