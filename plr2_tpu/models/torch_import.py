@@ -94,6 +94,8 @@ def import_posenet_state_dict(state_dict: Dict[str, "object"],
     unmatched: List[str] = []
 
     for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue  # torch BN bookkeeping buffer; no flax counterpart
         v = np.asarray(getattr(val, "numpy", lambda: val)())
         parts = [p for p in key.split(".") if p != "module"]
         ok = False
