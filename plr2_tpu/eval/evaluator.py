@@ -25,6 +25,9 @@ from plr2_tpu.pipeline import DenseFusionPipeline
 class EvalResult:
     per_object_success: Dict[int, float] = field(default_factory=dict)
     per_object_auc: Dict[int, float] = field(default_factory=dict)
+    # raw ADD(-S) distances per object id — the input to the offline
+    # accuracy report/curves (eval/report.py, --save_distances)
+    per_object_distances: Dict[int, List[float]] = field(default_factory=dict)
     mean_success: float = 0.0
     auc: float = 0.0
     under_2cm: float = 0.0
@@ -118,6 +121,7 @@ def evaluate(
     result.auc = compute_auc(dists)
     result.under_2cm = success_rate(dists, 0.02)
     result.per_object_auc = {obj: compute_auc(d) for obj, d in per_obj.items()}
+    result.per_object_distances = per_obj
     if diameters:
         succ = {
             obj: success_rate(d, 0.1 * diameters.get(obj, 0.1))

@@ -34,6 +34,8 @@ class FullPipelineResult:
     num_objects: int = 0
     num_frames: int = 0
     per_frame_poses: List[Dict] = field(default_factory=list)
+    # raw ADD(-S) distances per object id — input to eval/report.py
+    per_object_distances: Dict[int, List[float]] = field(default_factory=dict)
 
 
 def segment_frame(seg_trainer, seg_state, color: np.ndarray) -> np.ndarray:
@@ -105,6 +107,7 @@ def evaluate_full_pipeline(
                 batch.model_points[bi], est.quat[bi], est.trans[bi],
                 batch.target[bi], symmetric=(obj_id - 1) in sym_list))
             dists.append(dis)
+            result.per_object_distances.setdefault(obj_id, []).append(dis)
             frame_poses[obj_id] = np.concatenate(
                 [np.asarray(est.quat[bi]), np.asarray(est.trans[bi])])
         result.per_frame_poses.append(frame_poses)
@@ -187,6 +190,7 @@ def _evaluate_device_pipeline(pipe, variables, frames, models, sym_list,
                 samples.model_points[bi], poses.quat[bi], poses.trans[bi],
                 samples.target[bi], symmetric=(obj_id - 1) in sym_list))
             dists.append(dis)
+            result.per_object_distances.setdefault(obj_id, []).append(dis)
             frame_poses[obj_id] = np.concatenate(
                 [np.asarray(poses.quat[bi]), np.asarray(poses.trans[bi])])
         result.per_frame_poses.append(frame_poses)

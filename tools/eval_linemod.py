@@ -22,6 +22,11 @@ def main():
                         "masks. Generate with tools/segment_linemod.py.")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--save_distances", type=str, default="",
+                   help="write the per-object ADD(-S) distance report "
+                        "(JSON) for offline curves via tools/plot_accuracy.py")
+    p.add_argument("--plot", type=str, default="",
+                   help="write the accuracy-vs-threshold figure (PNG/SVG)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -68,6 +73,20 @@ def main():
     if res.lost_detections:
         print(f"lost detections (empty predicted mask, skipped): "
               f"{res.lost_detections}")
+    if args.save_distances:
+        from plr2_tpu.eval.report import save_distance_report
+        save_distance_report(
+            args.save_distances, res.per_object_distances,
+            meta={"dataset": "linemod",
+                  "refine_iterations": args.refine_iterations,
+                  "diameters": {int(k): float(v)
+                                for k, v in diameters.items()}})
+        print(f"distance report written to {args.save_distances}")
+    if args.plot:
+        from plr2_tpu.eval.report import plot_accuracy_curves
+        plot_accuracy_curves(res.per_object_distances, args.plot,
+                             title="LineMOD ADD(-S) accuracy vs threshold")
+        print(f"accuracy curves written to {args.plot}")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,12 @@ def main():
                         "frame (plr2_tpu/serving.py: on-device bbox/crop/"
                         "preprocess + batched estimate; implies "
                         "--full_pipeline)")
+    p.add_argument("--save_distances", type=str, default="",
+                   help="write the per-object ADD-S distance report (JSON) "
+                        "for offline curves via tools/plot_accuracy.py")
+    p.add_argument("--plot", type=str, default="",
+                   help="write the toolbox-style accuracy-vs-threshold "
+                        "figure (PNG/SVG) directly from this run")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.save_mat or args.posecnn_results or args.device_pipeline:
@@ -106,6 +112,7 @@ def main():
               f"({res.num_objects} objects / {res.num_frames} frames)")
         if args.save_mat:
             print(f"per-frame poses written to {args.save_mat}")
+        _report(args, res.per_object_distances)
         return
 
     res = evaluate(pipe, state.variables, ds,
@@ -118,6 +125,21 @@ def main():
     print(f"ADD-S < 2 cm:       {res.under_2cm * 100:.2f}%")
     print(f"mean distance:      {res.mean_distance:.4f} m "
           f"({res.num_samples} samples)")
+    _report(args, res.per_object_distances)
+
+
+def _report(args, per_object_distances):
+    if args.save_distances:
+        from plr2_tpu.eval.report import save_distance_report
+        save_distance_report(args.save_distances, per_object_distances,
+                             meta={"dataset": "ycb",
+                                   "refine_iterations": args.refine_iterations})
+        print(f"distance report written to {args.save_distances}")
+    if args.plot:
+        from plr2_tpu.eval.report import plot_accuracy_curves
+        plot_accuracy_curves(per_object_distances, args.plot,
+                             title="YCB-Video ADD-S accuracy vs threshold")
+        print(f"accuracy curves written to {args.plot}")
 
 
 if __name__ == "__main__":
