@@ -44,6 +44,27 @@ def segment_frame(seg_trainer, seg_state, color: np.ndarray) -> np.ndarray:
     return np.asarray(seg_trainer.predict(seg_state["variables"], norm)[0])
 
 
+def ycb_frames_and_models(ds, max_frames: Optional[int] = None):
+    """YCBDataset -> (frames, models) in this module's contract: frame
+    objects with 1-based label-id pose dicts, and a 1-based id -> model
+    points map. Shared by the live eval CLI and the offline re-evaluation
+    (tools/plot_accuracy.py) so both see identical ground truth."""
+    import types
+
+    frames, models = [], {}
+    n = len(ds) if max_frames is None else min(len(ds), max_frames)
+    for i in range(n):
+        fr = ds.get_frame(i)
+        poses = {oid + 1: (o["target_r"], o["target_t"])
+                 for oid, o in fr["objects"].items()}
+        frames.append(types.SimpleNamespace(
+            color=fr["color"], depth=fr["depth"], label=fr["label"],
+            poses=poses, intrinsics=fr["intrinsics"]))
+        for oid in fr["objects"]:
+            models[oid + 1] = ds.model_points[oid]
+    return frames, models
+
+
 def evaluate_full_pipeline(
     pipe: DenseFusionPipeline,
     variables,

@@ -82,19 +82,8 @@ def main():
             frames = ds.frames
             models = {oid: m for oid, m in ds.models.items()}
         else:
-            import types
-            frames, models = [], {}
-            n = len(ds) if args.max_samples is None else min(
-                len(ds), args.max_samples)
-            for i in range(n):
-                fr = ds.get_frame(i)
-                poses = {oid + 1: (o["target_r"], o["target_t"])
-                         for oid, o in fr["objects"].items()}
-                frames.append(types.SimpleNamespace(
-                    color=fr["color"], depth=fr["depth"], label=fr["label"],
-                    poses=poses, intrinsics=fr["intrinsics"]))
-                for oid in fr["objects"]:
-                    models[oid + 1] = ds.model_points[oid]
+            from plr2_tpu.eval.full_pipeline import ycb_frames_and_models
+            frames, models = ycb_frames_and_models(ds, args.max_samples)
         seg_predict = None
         if args.posecnn_results:
             from plr2_tpu.data.posecnn import PoseCNNMasks
@@ -125,7 +114,10 @@ def main():
     print(f"ADD-S < 2 cm:       {res.under_2cm * 100:.2f}%")
     print(f"mean distance:      {res.mean_distance:.4f} m "
           f"({res.num_samples} samples)")
-    _report(args, res.per_object_distances)
+    # evaluator keys distances by 0-based obj_idx; shift to the 1-based YCB
+    # label ids the full-pipeline mode and .mat dumps use, so reports from
+    # both modes name the same object the same way
+    _report(args, {o + 1: d for o, d in res.per_object_distances.items()})
 
 
 def _report(args, per_object_distances):
@@ -133,6 +125,7 @@ def _report(args, per_object_distances):
         from plr2_tpu.eval.report import save_distance_report
         save_distance_report(args.save_distances, per_object_distances,
                              meta={"dataset": "ycb",
+                                   "object_ids": "ycb label ids (1-based)",
                                    "refine_iterations": args.refine_iterations})
         print(f"distance report written to {args.save_distances}")
     if args.plot:

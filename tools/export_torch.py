@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", type=str, required=True,
-                   help="checkpoint dir (CheckpointManager) or full tag path")
+                   help="checkpoint dir (CheckpointManager root) or the "
+                        "path of one saved tag (e.g. .../linemod/best)")
     p.add_argument("--tag", type=str, default="best")
     p.add_argument("--out_dir", type=str, default=".")
     p.add_argument("--reference_names", action="store_true",
@@ -36,9 +37,14 @@ def main():
     from plr2_tpu.models.torch_export import save_reference_checkpoint
     from plr2_tpu.train import CheckpointManager
 
-    payload = CheckpointManager(args.checkpoint).restore(args.tag)
+    ckpt_dir, tag = args.checkpoint, args.tag
+    if os.path.exists(os.path.join(ckpt_dir, "_CHECKPOINT_METADATA")):
+        # --checkpoint points at one saved tag, not the manager root
+        ckpt_dir, tag = (os.path.dirname(os.path.abspath(ckpt_dir)),
+                         os.path.abspath(ckpt_dir))
+    payload = CheckpointManager(ckpt_dir).restore(tag)
     if payload is None:
-        raise SystemExit(f"no checkpoint {args.tag!r} under {args.checkpoint!r}")
+        raise SystemExit(f"no checkpoint {tag!r} under {ckpt_dir!r}")
     meta = payload["meta"]
 
     if args.reference_names:

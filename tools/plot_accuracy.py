@@ -77,22 +77,11 @@ def main():
         else:
             if not args.dataset_root:
                 p.error("--mat_dir needs --dataset_root or --synthetic")
-            import types
             from plr2_tpu.data import YCBDataset
+            from plr2_tpu.eval.full_pipeline import ycb_frames_and_models
             ds = YCBDataset(args.dataset_root, "test", cfg.model.num_points,
                             cfg.dataset.num_mesh_points, add_noise=False)
-            frames, models = [], {}
-            n = len(ds) if args.max_frames is None else min(
-                len(ds), args.max_frames)
-            for i in range(n):
-                fr = ds.get_frame(i)
-                poses = {oid + 1: (o["target_r"], o["target_t"])
-                         for oid, o in fr["objects"].items()}
-                frames.append(types.SimpleNamespace(
-                    color=fr["color"], depth=fr["depth"], label=fr["label"],
-                    poses=poses, intrinsics=fr["intrinsics"]))
-                for oid in fr["objects"]:
-                    models[oid + 1] = ds.model_points[oid]
+            frames, models = ycb_frames_and_models(ds, args.max_frames)
         per_obj = distances_from_mat_dir(args.mat_dir, frames, models,
                                          sym_list=cfg.dataset.sym_list)
 
