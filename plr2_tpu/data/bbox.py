@@ -104,10 +104,18 @@ def device_snap_bbox(rmin, rmax, cmin, cmax, img_h: int, img_w: int):
     return rmin, rmax, cmin, cmax
 
 
-def device_bbox_from_mask(mask: jnp.ndarray):
+def device_bbox_from_mask(mask: jnp.ndarray, img_h: int | None = None,
+                          img_w: int | None = None):
     """jnp version of get_bbox_from_mask: (H, W) bool -> snapped window
-    (rmin, rmax, cmin, cmax), empty-mask default included."""
+    (rmin, rmax, cmin, cmax), empty-mask default included.
+
+    img_h/img_w override the clamp bounds: callers that hand in a
+    zero-padded mask (the serving program pads bottom/right by `canvas`)
+    MUST pass the real image dims here, or windows near the bottom/right
+    edge are not shifted inside the image like the host version does."""
     h, w = mask.shape
+    img_h = h if img_h is None else img_h
+    img_w = w if img_w is None else img_w
     rows = jnp.any(mask, axis=1)
     cols = jnp.any(mask, axis=0)
     nonempty = jnp.any(rows)
@@ -115,7 +123,7 @@ def device_bbox_from_mask(mask: jnp.ndarray):
     rmax = (h - jnp.argmax(rows[::-1])).astype(jnp.int32)  # last idx + 1
     cmin = jnp.argmax(cols).astype(jnp.int32)
     cmax = (w - jnp.argmax(cols[::-1])).astype(jnp.int32)
-    snapped = device_snap_bbox(rmin, rmax, cmin, cmax, h, w)
-    default = (0, min(40, h), 0, min(40, w))
+    snapped = device_snap_bbox(rmin, rmax, cmin, cmax, img_h, img_w)
+    default = (0, min(40, img_h), 0, min(40, img_w))
     return tuple(jnp.where(nonempty, s, jnp.int32(d))
                  for s, d in zip(snapped, default))

@@ -222,6 +222,9 @@ def preprocess_crop(
         add_t = jnp.zeros(3)
     img = (img01 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
-    target = model_points @ target_r.T + target_t + add_t
+    # HIGHEST: GT metric coordinates (TPU matmuls default to bf16 operands)
+    target = jnp.matmul(model_points, target_r.T,
+                        precision=jax.lax.Precision.HIGHEST) \
+        + target_t + add_t
     return Sample(points=cloud, choose=choose, img=img, target=target,
                   model_points=model_points, idx=obj_idx)

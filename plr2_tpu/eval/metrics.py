@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,14 +27,18 @@ def add_distance(model_points: jnp.ndarray, q: jnp.ndarray, t: jnp.ndarray,
 
     model_points (M,3); q (4,) wxyz; t (3,); target (M,3) GT-posed points.
     """
-    pred = model_points @ quat_to_matrix_df(q).T + t
+    # HIGHEST: metric coordinates must not round through TPU's default
+    # bf16 matmul operands (CLAUDE.md precision rule)
+    pred = jnp.matmul(model_points, quat_to_matrix_df(q).T,
+                      precision=jax.lax.Precision.HIGHEST) + t
     return jnp.mean(jnp.linalg.norm(pred - target, axis=-1))
 
 
 def adds_distance(model_points: jnp.ndarray, q: jnp.ndarray, t: jnp.ndarray,
                   target: jnp.ndarray) -> jnp.ndarray:
     """ADD-S: mean nearest-neighbour distance (symmetric objects)."""
-    pred = model_points @ quat_to_matrix_df(q).T + t
+    pred = jnp.matmul(model_points, quat_to_matrix_df(q).T,
+                      precision=jax.lax.Precision.HIGHEST) + t
     d2 = pairwise_sq_dist(pred[None], target[None])[0]
     return jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)))
 

@@ -16,9 +16,17 @@ Here we store R as the (3,3) standard matrix and apply `p @ R.T + t`
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from plr2_tpu.geometry.quaternion import quat_to_matrix_df, quat_multiply
+
+# Every matmul here touches METRIC coordinates: TPU f32 matmuls default to
+# bf16 operands, which rounds point coordinates by ~2^-9 relative — fatal
+# for distances measured against mm-scale thresholds (CLAUDE.md precision
+# rule). All pose applications therefore run at HIGHEST; the contractions
+# are K=3 and padding-bound on the MXU either way.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def backproject_depth(
@@ -51,7 +59,8 @@ def transform_points(points: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray) -> jnp
 
     Matches np.dot(points, R.T) + t from the reference datasets.
     """
-    return jnp.matmul(points, jnp.swapaxes(r, -1, -2)) + t[..., None, :]
+    return jnp.matmul(points, jnp.swapaxes(r, -1, -2),
+                      precision=_HI) + t[..., None, :]
 
 
 def apply_pose_quat(points: jnp.ndarray, q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -73,7 +82,8 @@ def compose_pose(
     """
     q = quat_multiply(q_outer, q_inner)
     r_outer = quat_to_matrix_df(q_outer)
-    t = jnp.squeeze(jnp.matmul(r_outer, t_inner[..., :, None]), -1) + t_outer
+    t = jnp.squeeze(jnp.matmul(r_outer, t_inner[..., :, None],
+                               precision=_HI), -1) + t_outer
     return q, t
 
 
@@ -85,4 +95,4 @@ def recenter_points(points: jnp.ndarray, q: jnp.ndarray, t: jnp.ndarray) -> jnp.
     feeding the refiner with the cloud re-centred by the current estimate.
     """
     r = quat_to_matrix_df(q)
-    return jnp.matmul(points - t[..., None, :], r)
+    return jnp.matmul(points - t[..., None, :], r, precision=_HI)

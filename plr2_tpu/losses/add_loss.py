@@ -49,7 +49,11 @@ def transform_hypotheses(pred_r, pred_t, points, model_points):
     rot = quat_to_matrix_df(q)  # (B, N, 3, 3)
     t = points + pred_t  # (B, N, 3) candidate translations
     # pred[b,i,j,l] = sum_k model_points[b,j,k] * rot[b,i,l,k]  (mp @ R^T)
-    pred = jnp.einsum("bjk,bilk->bijl", model_points, rot)
+    # HIGHEST: metric coordinates must not round through bf16 operands
+    # (TPU default) — CLAUDE.md precision rule; the K=3 contraction is
+    # MXU-padding-bound either way
+    pred = jnp.einsum("bjk,bilk->bijl", model_points, rot,
+                      precision=jax.lax.Precision.HIGHEST)
     return pred + t[:, :, None, :], rot, t
 
 
@@ -175,8 +179,12 @@ def pose_loss(
     best_rot = take(rot)           # (B, 3, 3)
     best_dis = take(dis[..., None])[..., 0]  # (B,)
 
-    new_points = jnp.matmul(points - best_t[:, None, :], best_rot)
-    new_target = jnp.matmul(target - best_t[:, None, :], best_rot)
+    # metric re-centring at HIGHEST (TPU f32 matmuls default to bf16
+    # operands — fatal for coordinates fed back into the refiner loss)
+    new_points = jnp.matmul(points - best_t[:, None, :], best_rot,
+                            precision=jax.lax.Precision.HIGHEST)
+    new_target = jnp.matmul(target - best_t[:, None, :], best_rot,
+                            precision=jax.lax.Precision.HIGHEST)
     return PoseLossOut(
         loss=loss,
         dis=best_dis,

@@ -48,7 +48,9 @@ def refine_loss(
     rot = quat_to_matrix_df(q)  # (B, 3, 3)
     t = pred_t[:, 0, :]  # (B, 3)
 
-    pred = jnp.matmul(model_points, jnp.swapaxes(rot, -1, -2)) + t[:, None, :]
+    # HIGHEST: metric coordinates (see add_loss.py / CLAUDE.md precision rule)
+    pred = jnp.matmul(model_points, jnp.swapaxes(rot, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
 
     dis_add = jnp.mean(safe_norm(pred - target), axis=-1)  # (B,)
     if len(sym_list) > 0:
@@ -63,8 +65,10 @@ def refine_loss(
     else:
         dis = dis_add
 
-    new_points = jnp.matmul(points - t[:, None, :], rot)
-    new_target = jnp.matmul(target - t[:, None, :], rot)
+    new_points = jnp.matmul(points - t[:, None, :], rot,
+                            precision=jax.lax.Precision.HIGHEST)
+    new_target = jnp.matmul(target - t[:, None, :], rot,
+                            precision=jax.lax.Precision.HIGHEST)
     return RefineLossOut(
         dis=dis,
         new_points=jax.lax.stop_gradient(new_points),

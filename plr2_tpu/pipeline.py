@@ -48,7 +48,7 @@ class DenseFusionPipeline:
         choose = jnp.zeros((batch, self.num_points), dtype=jnp.int32)
         obj = jnp.zeros((batch,), dtype=jnp.int32)
         pose_vars = self.posenet.init(k1, img, cloud, choose, obj)
-        emb = jnp.zeros((batch, self.num_points, 32))
+        emb = jnp.zeros((batch, self.num_points, self.posenet.emb_dim))
         refine_vars = self.refiner.init(k2, cloud, emb, obj)
         return {"posenet": pose_vars, "refiner": refine_vars}
 

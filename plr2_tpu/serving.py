@@ -25,8 +25,7 @@ alongside (static shapes) and are reported invalid.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -74,14 +73,29 @@ class FrameEstimator:
         self.mesh = mesh
         self._run = jax.jit(self._program)
         self._run_frames = jax.jit(self._program_frames)
+        # poses-only variants for the hot serving paths: returning the full
+        # Sample pytree forces XLA to materialize every canvas crop in HBM
+        # as a program output; when the caller only wants poses, compile a
+        # program whose unused sample outputs are DCE'd instead
+        self._run_poses = jax.jit(lambda *a: self._program(*a)[0])
+        self._run_frames_poses = jax.jit(
+            lambda *a: self._program_frames(*a)[0])
 
     # -- per-object: mask -> bbox -> canvas crop -> fused preprocessing --
 
     def _sample_one(self, color, depth, label, intr_vec, obj_id,
                     model_points, target_r, target_t, key):
+        # bbox derives from the depth-intersected mask, matching the host
+        # full-pipeline chain (eval/full_pipeline.py builds `raw["mask"]`
+        # the same way); NOTE the LineMOD loader snaps its bbox from the
+        # label alone (data/linemod.py `bbox_mask`, the upstream get_bbox
+        # convention) — frames with depth holes crop differently there.
         mask = (label == obj_id) & (depth > 0)
         npix = jnp.sum(mask.astype(jnp.int32))
-        rmin, rmax, cmin, cmax = device_bbox_from_mask(mask)
+        # the mask is canvas-padded; clamp windows against the REAL image
+        # bounds so edge objects shift inside the frame like the host path
+        rmin, rmax, cmin, cmax = device_bbox_from_mask(
+            mask, self.img_h, self.img_w)
 
         c = self.canvas
         # frames are pre-padded by `canvas` on bottom/right, so a slice
@@ -94,7 +108,6 @@ class FrameEstimator:
         inwin = ((jnp.arange(c, dtype=jnp.int32)[:, None] < rmax - rmin) &
                  (jnp.arange(c, dtype=jnp.int32)[None, :] < cmax - cmin))
         maskc = maskc & inwin
-        colc = jnp.where(inwin[..., None], colc, 0)
 
         # clamp the head index for inactive/out-of-range slots (their
         # outputs are discarded via `valid`; an OOB gather is undefined)
@@ -107,7 +120,13 @@ class FrameEstimator:
         # crop — zero the background after normalization to match exactly
         sample = sample._replace(
             img=jnp.where(inwin[..., None], sample.img, 0.0))
-        valid = (obj_id > 0) & (npix >= self.min_mask_pixels)
+        # a snapped window larger than the canvas would be silently
+        # truncated (the host chain auto-grows its canvas instead) — flag
+        # the slot invalid rather than return a confidently-wrong pose;
+        # construct the FrameEstimator with a larger `canvas` for such
+        # scenes
+        fits = (rmax - rmin <= c) & (cmax - cmin <= c)
+        valid = (obj_id > 0) & (npix >= self.min_mask_pixels) & fits
         return sample, valid
 
     def _segment(self, seg_variables, colors):
@@ -199,11 +218,14 @@ class FrameEstimator:
         intr_vec (5,) [cx cy fx fy cam_scale]. target_r/t (optional GT)
         only affect the returned samples' `target` field for evaluation.
         """
-        poses, _ = self.run_with_samples(
-            variables, color, depth, label, obj_ids, model_points, intr_vec,
-            key, seg_variables=seg_variables, target_r=target_r,
-            target_t=target_t)
-        return poses
+        k = obj_ids.shape[0]
+        if target_r is None:
+            target_r = jnp.broadcast_to(jnp.eye(3), (k, 3, 3))
+        if target_t is None:
+            target_t = jnp.zeros((k, 3))
+        return self._run_poses(variables, color, depth, label, obj_ids,
+                               model_points, target_r, target_t, intr_vec,
+                               key, seg_variables)
 
     def run_with_samples(self, variables, color, depth, label, obj_ids,
                          model_points, intr_vec, key, seg_variables=None,
@@ -242,7 +264,7 @@ class FrameEstimator:
             variables = jax.device_put(variables, rep)
             if seg_variables is not None:
                 seg_variables = jax.device_put(seg_variables, rep)
-        poses, _ = self._run_frames(variables, colors, depths, labels,
-                                    obj_ids, model_points, target_r,
-                                    target_t, intr_vecs, keys, seg_variables)
-        return poses
+        return self._run_frames_poses(variables, colors, depths, labels,
+                                      obj_ids, model_points, target_r,
+                                      target_t, intr_vecs, keys,
+                                      seg_variables)

@@ -115,3 +115,18 @@ def test_refine_composition_matches_host_reference(rng):
         q_ref = -q_ref
     np.testing.assert_allclose(qn, q_ref, atol=1e-5)
     np.testing.assert_allclose(np.asarray(t[0]), t_ref, atol=1e-5)
+
+
+def test_pipeline_init_respects_emb_dim():
+    """init() must size the refiner's embedding input from emb_dim — a
+    hardcoded 32 initialized refiner params that crashed at estimate time
+    for any other embedding width (regression)."""
+    pipe = DenseFusionPipeline(num_points=16, num_objects=2, emb_dim=16)
+    variables = pipe.init(jax.random.key(0), crop_hw=48, batch=1)
+    k = variables["refiner"]["params"]["feat"]["e_conv1"]["kernel"]
+    assert k.shape[0] == 16
+    est = pipe.estimate(
+        variables, jnp.zeros((1, 48, 48, 3)), jnp.zeros((1, 16, 3)),
+        jnp.zeros((1, 16), jnp.int32), jnp.zeros((1,), jnp.int32),
+        refine_iterations=1)
+    assert np.isfinite(np.asarray(est.quat)).all()

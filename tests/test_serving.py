@@ -367,3 +367,87 @@ def test_run_frames_matches_single_frame_runs(scene):
                                    np.asarray(singles[fi].trans), atol=5e-5)
         np.testing.assert_array_equal(np.asarray(batched.valid[fi]),
                                       np.asarray(singles[fi].valid))
+
+
+def test_edge_object_bbox_matches_host_chain(rng):
+    """Regression: the device program computes its bbox on the canvas-
+    padded mask — windows near the bottom/right edge must still be
+    shifted inside the REAL image bounds like the host get_bbox does."""
+    import types
+
+    from plr2_tpu.data.loader import raw_to_sample, stack_samples
+
+    h, w = 480, 640
+    color = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    depth = np.zeros((h, w), np.float32)
+    label = np.zeros((h, w), np.int32)
+    # blob hugging the bottom-right corner: tight bbox 23x36 snaps to
+    # 40x40 centred past the image edge -> host shifts it inside
+    label[455:478, 600:636] = 1
+    depth[455:478, 600:636] = 2000.0
+    intr = dict(cx=320.0, cy=240.0, fx=580.0, fy=580.0, cam_scale=10000.0)
+    r_gt = np.eye(3, dtype=np.float32)
+    t_gt = np.array([0.0, 0.0, 0.2], np.float32)
+    mps = rng.normal(size=(64, 3)).astype(np.float32) * 0.01
+
+    # host window must have shifted (rmax clamped to the image)
+    host_bbox = get_bbox_from_mask(label == 1, h, w)
+    assert host_bbox[1] == h and host_bbox[3] <= w
+
+    n_pts = (label == 1).sum() + 8  # wrap path: deterministic
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.serving import FrameEstimator
+
+    pipe = DenseFusionPipeline(num_points=n_pts, num_objects=2)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+    fe = FrameEstimator(pipe, canvas=240, refine_iterations=1)
+    poses, samples = fe.run_with_samples(
+        variables, jnp.asarray(color), jnp.asarray(depth),
+        jnp.asarray(label), jnp.asarray([1], jnp.int32),
+        jnp.asarray(mps)[None],
+        jnp.asarray([intr[k] for k in
+                     ("cx", "cy", "fx", "fy", "cam_scale")], jnp.float32),
+        jax.random.key(0), target_r=jnp.asarray(r_gt)[None],
+        target_t=jnp.asarray(t_gt)[None])
+
+    raw = dict(color=color, depth=depth, mask=(label == 1) & (depth > 0),
+               target_r=r_gt, target_t=t_gt, model_points=mps, obj_idx=0,
+               intrinsics=intr)
+    key = jax.random.split(jax.random.key(0), 1)[0]
+    batch = stack_samples([raw_to_sample(raw, key, n_pts, add_noise=False)],
+                          crop=240)
+    assert bool(poses.valid[0])
+    np.testing.assert_array_equal(np.asarray(samples.choose[0]),
+                                  np.asarray(batch.choose[0]))
+    np.testing.assert_allclose(np.asarray(samples.points[0]),
+                               np.asarray(batch.points[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(samples.img[0]),
+                               np.asarray(batch.img[0]), atol=1e-6)
+
+
+def test_oversized_window_flagged_invalid(rng):
+    """A snapped window larger than the serving canvas cannot be cropped
+    faithfully — the slot must be reported invalid, not silently
+    truncated to a confidently-wrong pose."""
+    from plr2_tpu.pipeline import DenseFusionPipeline
+    from plr2_tpu.serving import FrameEstimator
+
+    h, w = 192, 256
+    color = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    depth = np.zeros((h, w), np.float32)
+    label = np.zeros((h, w), np.int32)
+    label[40:150, 60:180] = 1  # 110x120 -> snaps to 120x120 > canvas 80
+    depth[40:150, 60:180] = 2000.0
+    mps = rng.normal(size=(32, 3)).astype(np.float32) * 0.01
+
+    pipe = DenseFusionPipeline(num_points=32, num_objects=2)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+    fe = FrameEstimator(pipe, canvas=80, img_h=h, img_w=w,
+                        refine_iterations=1)
+    poses = fe.run(
+        variables, jnp.asarray(color), jnp.asarray(depth),
+        jnp.asarray(label), jnp.asarray([1], jnp.int32),
+        jnp.asarray(mps)[None],
+        jnp.asarray([128.0, 96.0, 200.0, 200.0, 10000.0], jnp.float32),
+        jax.random.key(0))
+    assert not bool(poses.valid[0])
