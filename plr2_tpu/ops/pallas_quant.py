@@ -13,8 +13,11 @@ deployment — this ships as an opt-in mode.
 Measured on v5e at the production head shape (8000x1408): 0.286 ms vs the
 f32 fused kernel's 0.26 ms — the per-layer activation quantization passes
 currently offset the int8 MXU gain, so this is a capability/pattern
-demonstration (median rel. err 1.7%), not yet a speedup; fusing the
-quantize into the previous layer's epilogue is the round-2 follow-up.
+demonstration (median rel. err 1.7%), not a speedup. CLOSED as a perf
+lever (docs/PERF_NOTES.md): after the head-select commute the heads are
+~4.7 ms/batch-128 and int8's ceiling (~2.3 ms) is under 7% end-to-end —
+not worth the accuracy risk. Kept as the int8 serving pattern for models
+where the head ladder dominates.
 """
 
 from __future__ import annotations
