@@ -1,0 +1,105 @@
+"""Subprocess smoke tests for the CLI tools that had no direct coverage.
+
+Each CLI runs end-to-end in a fresh interpreter (same pattern as
+tests/test_serving.py::test_serve_cli_smoke) on tiny synthetic inputs with
+the CPU backend; the per-CPU-model persistent compile cache keeps reruns
+fast. These pin the glue layer — argparse wiring, preset overrides, report
+writing — the library-level tests don't reach.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(tool, *flags, timeout=2400):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", tool), *flags],
+        capture_output=True, text=True, cwd=REPO, timeout=timeout)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    return out.stdout
+
+
+def test_eval_linemod_cli_synthetic(tmp_path):
+    """eval_linemod.py --synthetic: 0.1*diameter protocol + report + plot."""
+    report = tmp_path / "dist.json"
+    fig = tmp_path / "curves.png"
+    stdout = _run("eval_linemod.py", "--synthetic", "--cpu",
+                  "--max_samples", "2", "--refine_iterations", "1",
+                  "--num_points", "96", "--mesh_points", "128",
+                  "--save_distances", str(report), "--plot", str(fig))
+    assert "mean success rate" in stdout
+    assert fig.exists() and fig.stat().st_size > 0
+    data = json.loads(report.read_text())
+    assert data["meta"]["dataset"] == "linemod"
+    assert sum(len(v) for v in data["distances"].values()) == 2
+
+
+def test_eval_ycb_cli_synthetic(tmp_path):
+    """eval_ycb.py --synthetic: AUC protocol + distance report."""
+    report = tmp_path / "dist.json"
+    stdout = _run("eval_ycb.py", "--synthetic", "--cpu",
+                  "--max_samples", "2", "--refine_iterations", "1",
+                  "--num_points", "96", "--mesh_points", "128",
+                  "--save_distances", str(report))
+    assert "ADD-S AUC" in stdout
+    data = json.loads(report.read_text())
+    assert data["meta"]["dataset"] == "ycb"
+
+
+def test_train_segmentation_cli_synthetic(tmp_path):
+    """train_segmentation.py --synthetic writes best/last variable files."""
+    save = tmp_path / "seg"
+    _run("train_segmentation.py", "--synthetic", "--cpu",
+         "--nepoch", "1", "--batch_size", "2", "--crop", "64",
+         "--num_classes", "4", "--arch", "pspnet",
+         "--save_path", str(save), "--logs_path", str(tmp_path / "logs"))
+    assert (save / "best.msgpack").exists()
+    assert (save / "last.msgpack").exists()
+
+
+def test_segment_linemod_cli(tmp_path):
+    """segment_linemod.py renders the upstream segnet_results layout from a
+    saved segmenter checkpoint over a miniature on-disk dataset."""
+    from PIL import Image
+    import jax
+
+    from plr2_tpu.train.checkpoint import save_variables
+    from plr2_tpu.train.seg_trainer import SegTrainer
+
+    # miniature layout: only rgb/ + test.txt are needed for mask rendering
+    root = tmp_path / "linemod"
+    rgb = root / "data" / "01" / "rgb"
+    os.makedirs(rgb)
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (96, 128, 3), np.uint8)
+    ).save(rgb / "0000.png")
+    (root / "data" / "01" / "test.txt").write_text("0\n")
+
+    ckpt = tmp_path / "seg.msgpack"
+    trainer = SegTrainer(num_classes=3, arch="pspnet")
+    save_variables(str(ckpt), trainer.init_state(jax.random.key(0))["variables"])
+
+    out = tmp_path / "segnet_results"
+    stdout = _run("segment_linemod.py", "--cpu", "--arch", "pspnet",
+                  "--num_classes", "3", "--dataset_root", str(root),
+                  "--model", str(ckpt), "--out", str(out))
+    assert "wrote 1 predicted masks" in stdout
+    mask = np.asarray(Image.open(out / "01_label" / "0000_label.png"))
+    assert mask.shape == (96, 128) and set(np.unique(mask)) <= {0, 255}
+
+
+def test_overfit_synthetic_cli():
+    """overfit_synthetic.py: the batched train step runs and reports loss."""
+    stdout = _run("overfit_synthetic.py", "--cpu", "--steps", "2",
+                  "--batch", "2", "--num_points", "96", "--crop", "160")
+    assert "step    0" in stdout and "samples/s" in stdout
+    # losses parsed from the step lines must be finite
+    losses = [float(l.split("loss=")[1].split()[0])
+              for l in stdout.splitlines() if "loss=" in l]
+    assert losses and all(np.isfinite(x) for x in losses)

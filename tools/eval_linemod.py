@@ -27,12 +27,22 @@ def main():
                         "(JSON) for offline curves via tools/plot_accuracy.py")
     p.add_argument("--plot", type=str, default="",
                    help="write the accuracy-vs-threshold figure (PNG/SVG)")
+    p.add_argument("--num_points", type=int, default=None,
+                   help="override the preset's sampled-cloud size (the "
+                        "upstream driver's --num_points; default 500)")
+    p.add_argument("--mesh_points", type=int, default=None,
+                   help="override the preset's model-mesh point count")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from plr2_tpu.utils.cache import (enable_compilation_cache,
+                                      enable_cpu_compilation_cache)
+    enable_cpu_compilation_cache() if args.cpu else enable_compilation_cache()
+
+    import dataclasses
 
     from plr2_tpu.config import get_preset
     from plr2_tpu.data import LinemodDataset, SyntheticPoseDataset
@@ -41,6 +51,17 @@ def main():
     from plr2_tpu.train import Trainer, CheckpointManager
 
     cfg = get_preset("linemod_train")
+    if args.num_points or args.mesh_points:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                num_points=args.num_points or cfg.model.num_points),
+            dataset=dataclasses.replace(
+                cfg.dataset,
+                num_points=args.num_points or cfg.dataset.num_points,
+                num_mesh_points=(args.mesh_points
+                                 or cfg.dataset.num_mesh_points)))
     pipe = DenseFusionPipeline(num_points=cfg.model.num_points,
                                num_objects=cfg.model.num_objects,
                                use_pallas=cfg.model.use_pallas_model,

@@ -33,8 +33,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from plr2_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+    from plr2_tpu.utils.cache import (enable_compilation_cache,
+                                      enable_cpu_compilation_cache)
+    enable_cpu_compilation_cache() if args.cpu else enable_compilation_cache()
 
     from plr2_tpu.data import SyntheticPoseDataset
     from plr2_tpu.eval import evaluate

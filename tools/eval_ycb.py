@@ -40,6 +40,11 @@ def main():
     p.add_argument("--plot", type=str, default="",
                    help="write the toolbox-style accuracy-vs-threshold "
                         "figure (PNG/SVG) directly from this run")
+    p.add_argument("--num_points", type=int, default=None,
+                   help="override the preset's sampled-cloud size (the "
+                        "upstream driver's --num_points; default 1000)")
+    p.add_argument("--mesh_points", type=int, default=None,
+                   help="override the preset's model-mesh point count")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.save_mat or args.posecnn_results or args.device_pipeline:
@@ -48,8 +53,12 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from plr2_tpu.utils.cache import (enable_compilation_cache,
+                                      enable_cpu_compilation_cache)
+    enable_cpu_compilation_cache() if args.cpu else enable_compilation_cache()
 
-    import numpy as np
+    import dataclasses
+
     from plr2_tpu.config import get_preset
     from plr2_tpu.data import YCBDataset, SyntheticPoseDataset
     from plr2_tpu.eval import evaluate
@@ -57,6 +66,17 @@ def main():
     from plr2_tpu.train import Trainer, CheckpointManager
 
     cfg = get_preset("ycb_refine")
+    if args.num_points or args.mesh_points:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                num_points=args.num_points or cfg.model.num_points),
+            dataset=dataclasses.replace(
+                cfg.dataset,
+                num_points=args.num_points or cfg.dataset.num_points,
+                num_mesh_points=(args.mesh_points
+                                 or cfg.dataset.num_mesh_points)))
     pipe = DenseFusionPipeline(num_points=cfg.model.num_points,
                                num_objects=cfg.model.num_objects,
                                use_pallas=cfg.model.use_pallas_model,

@@ -25,12 +25,17 @@ def main():
     p.add_argument("--bf16", action="store_true",
                    help="mixed-precision: bf16 network compute, f32 "
                         "params/optimizer/loss")
+    p.add_argument("--crop", type=int, default=240,
+                   help="stack_samples canvas size (crops must fit)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from plr2_tpu.utils.cache import (enable_compilation_cache,
+                                      enable_cpu_compilation_cache)
+    enable_cpu_compilation_cache() if args.cpu else enable_compilation_cache()
     import jax.numpy as jnp
 
     from plr2_tpu.data import SyntheticPoseDataset, raw_to_sample, stack_samples
@@ -42,7 +47,7 @@ def main():
                               num_points=args.num_points, seed=0)
     samples = [raw_to_sample(ds.get_raw(i % len(ds)), jax.random.key(i),
                              args.num_points) for i in range(args.batch)]
-    batch_s = stack_samples(samples, crop=240)
+    batch_s = stack_samples(samples, crop=args.crop)
     batch = {"img": batch_s.img, "points": batch_s.points,
              "choose": batch_s.choose, "target": batch_s.target,
              "model_points": batch_s.model_points, "idx": batch_s.idx}

@@ -70,6 +70,9 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from plr2_tpu.utils.cache import (enable_compilation_cache,
+                                      enable_cpu_compilation_cache)
+    enable_cpu_compilation_cache() if args.cpu else enable_compilation_cache()
 
     import dataclasses
     from plr2_tpu.config import get_preset, TrainConfig

@@ -36,6 +36,9 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from plr2_tpu.utils.cache import (enable_compilation_cache,
+                                      enable_cpu_compilation_cache)
+    enable_cpu_compilation_cache() if args.cpu else enable_compilation_cache()
 
     from plr2_tpu.train.seg_trainer import SegTrainer
     from plr2_tpu.utils.logger import setup_logger

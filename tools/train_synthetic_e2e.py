@@ -39,8 +39,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from plr2_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+    from plr2_tpu.utils.cache import (enable_compilation_cache,
+                                      enable_cpu_compilation_cache)
+    enable_cpu_compilation_cache() if args.cpu else enable_compilation_cache()
 
     from plr2_tpu.config import DatasetConfig, ModelConfig, PipelineConfig, TrainConfig
     from plr2_tpu.data import SyntheticPoseDataset, raw_to_sample, stack_samples
