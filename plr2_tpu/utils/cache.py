@@ -28,16 +28,16 @@ def enable_compilation_cache(path: str | None = None) -> str:
     return cache_dir
 
 
-def enable_cpu_compilation_cache() -> str:
-    """Persistent cache for CPU-backend compiles, keyed by the host CPU
-    model+flags: CPU AOT artifacts use host ISA extensions, so a cache dir
-    shared across heterogeneous VMs risks SIGILL — a per-CPU-tag dir is
-    safe, and makes suite/dryrun reruns on the same host skip recompiles."""
+def cpu_cache_tag(cpuinfo_path: str = "/proc/cpuinfo") -> str:
+    """Stable tag for the host CPU's model+ISA, used to key the CPU-backend
+    compile cache dir: CPU AOT artifacts bake in host ISA extensions, so a
+    dir shared across heterogeneous VMs risks SIGILL; distinct CPUs must
+    map to distinct tags (pinned by test)."""
     import hashlib
     import platform
 
     try:
-        with open("/proc/cpuinfo") as f:
+        with open(cpuinfo_path) as f:
             lines = f.read().splitlines()
         # x86 spells these "model name"/"flags"; ARM "Processor"/"Features"/
         # "CPU part". If none match, fall back to the whole cpuinfo text —
@@ -47,11 +47,18 @@ def enable_cpu_compilation_cache() -> str:
             ("model name", "flags", "Processor", "Features",
              "CPU implementer", "CPU part"))]
         key = platform.machine() + "\n".join(picked or lines)
-        tag = hashlib.sha1(key.encode()).hexdigest()[:10]
+        return hashlib.sha1(key.encode()).hexdigest()[:10]
     except OSError:
-        tag = hashlib.sha1(
+        return hashlib.sha1(
             (platform.machine() + platform.processor()).encode()
         ).hexdigest()[:10]
+
+
+def enable_cpu_compilation_cache() -> str:
+    """Persistent cache for CPU-backend compiles in a per-CPU-tag dir (see
+    cpu_cache_tag); makes suite/dryrun reruns on the same host skip
+    recompiles without aliasing artifacts across heterogeneous VMs."""
+    tag = cpu_cache_tag()
     env_root = os.environ.get("PLR2_JAX_CACHE")
     if env_root:
         return enable_compilation_cache(os.path.join(env_root, f"cpu_{tag}"))

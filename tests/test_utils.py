@@ -77,3 +77,27 @@ def test_checked_raises_on_nan():
     assert float(f(jnp.asarray(1.0))) == 0.0
     with pytest.raises(Exception, match="nan"):
         f(jnp.asarray(-1.0))
+
+
+def test_cpu_cache_tag_separates_isas(tmp_path):
+    """Distinct CPU model/flags must map to distinct cache-dir tags (the
+    SIGILL guard for CPU AOT artifacts shared across heterogeneous VMs),
+    while volatile cpuinfo fields (cpu MHz) must not churn the tag."""
+    from plr2_tpu.utils.cache import cpu_cache_tag
+
+    def info(model, flags, mhz):
+        p = tmp_path / f"{model}_{mhz}.txt"
+        p.write_text(f"model name\t: {model}\n"
+                     f"cpu MHz\t\t: {mhz}\n"
+                     f"flags\t\t: {flags}\n")
+        return str(p)
+
+    avx512 = cpu_cache_tag(info("Xeon-1", "sse2 avx2 avx512f", "2000.0"))
+    avx2 = cpu_cache_tag(info("Xeon-1", "sse2 avx2", "2000.0"))
+    other = cpu_cache_tag(info("Xeon-2", "sse2 avx2 avx512f", "2000.0"))
+    same = cpu_cache_tag(info("Xeon-1", "sse2 avx2 avx512f", "2700.1"))
+    assert len({avx512, avx2, other}) == 3
+    assert same == avx512
+    # missing file: deterministic platform-based fallback, no crash
+    assert cpu_cache_tag(str(tmp_path / "nope")) == cpu_cache_tag(
+        str(tmp_path / "nope"))
