@@ -30,9 +30,16 @@ from plr2_tpu.pipeline import DenseFusionPipeline
 class FullPipelineResult:
     auc: float = 0.0
     under_2cm: float = 0.0
-    mean_distance: float = 0.0
-    num_objects: int = 0
+    mean_distance: float = 0.0        # over detected objects (finite dis)
+    num_objects: int = 0              # scored GT objects incl. lost ones
     num_frames: int = 0
+    # GT objects whose mask the segmenter missed (or was below the pixel
+    # floor): scored as distance=inf — the YCB toolbox counts undetected
+    # GT objects as failures in the AUC/threshold curves (upstream
+    # replace_ycb_toolbox/evaluate_poses_keyframe.m [upstream, mount
+    # empty]); silently dropping them would inflate AUC under predicted
+    # (PoseCNN/SegNet) masks
+    lost_detections: int = 0
     per_frame_poses: List[Dict] = field(default_factory=list)
     # raw ADD(-S) distances per object id — input to eval/report.py
     per_object_distances: Dict[int, List[float]] = field(default_factory=dict)
@@ -101,6 +108,10 @@ def evaluate_full_pipeline(
         for obj_id, (r_gt, t_gt) in frame.poses.items():
             mask = (label == obj_id) & (frame.depth > 0)
             if mask.sum() < min_mask_pixels:
+                dists.append(float("inf"))
+                result.per_object_distances.setdefault(obj_id, []).append(
+                    float("inf"))
+                result.lost_detections += 1
                 continue
             raw = dict(
                 color=frame.color, depth=frame.depth.astype(np.float32),
@@ -111,7 +122,16 @@ def evaluate_full_pipeline(
             samples.append(raw_to_sample(raw, sub, n_pts, add_noise=False))
             objs.append(obj_id)
         if not samples:
+            # no detected object in this frame — mirror the device mode:
+            # empty poses entry (lost GT objects were scored inf above)
+            result.per_frame_poses.append({})
             result.num_frames += 1
+            if save_mat_dir:
+                import scipy.io as sio
+                os.makedirs(save_mat_dir, exist_ok=True)
+                sio.savemat(os.path.join(save_mat_dir, f"{fi:06d}.mat"),
+                            {"poses": np.zeros((0, 7)),
+                             "cls_indexes": np.zeros((0,), np.int32)})
             continue
 
         # auto-grow the canvas for oversized (e.g. noisy-mask) crops; the
@@ -145,9 +165,12 @@ def evaluate_full_pipeline(
 
     result.num_objects = len(dists)
     if dists:
+        # AUC / <2cm include lost detections (inf) as failures; the mean
+        # is over detected objects so it stays a meaningful distance
         result.auc = compute_auc(dists)
         result.under_2cm = success_rate(dists, 0.02)
-        result.mean_distance = float(np.mean(dists))
+        finite = [d for d in dists if np.isfinite(d)]
+        result.mean_distance = float(np.mean(finite)) if finite else float("inf")
     return result
 
 
@@ -206,6 +229,10 @@ def _evaluate_device_pipeline(pipe, variables, frames, models, sym_list,
         frame_poses = {}
         for bi, obj_id in enumerate(obj_ids):
             if not valid[bi]:
+                dists.append(float("inf"))
+                result.per_object_distances.setdefault(obj_id, []).append(
+                    float("inf"))
+                result.lost_detections += 1
                 continue
             dis = float(pose_distance(
                 samples.model_points[bi], poses.quat[bi], poses.trans[bi],
@@ -228,7 +255,10 @@ def _evaluate_device_pipeline(pipe, variables, frames, models, sym_list,
 
     result.num_objects = len(dists)
     if dists:
+        # AUC / <2cm include lost detections (inf) as failures; the mean
+        # is over detected objects so it stays a meaningful distance
         result.auc = compute_auc(dists)
         result.under_2cm = success_rate(dists, 0.02)
-        result.mean_distance = float(np.mean(dists))
+        finite = [d for d in dists if np.isfinite(d)]
+        result.mean_distance = float(np.mean(finite)) if finite else float("inf")
     return result

@@ -89,11 +89,15 @@ def distances_from_mat_dir(
         mat = sio.loadmat(path)
         poses = np.atleast_2d(np.asarray(mat["poses"], np.float64))
         cls = np.asarray(mat["cls_indexes"], np.int64).reshape(-1)
-        for row, obj_id in zip(poses, cls):
-            obj_id = int(obj_id)
-            if obj_id not in frame.poses:
+        by_cls = {int(c): row for row, c in zip(poses, cls)}
+        # score every GT object of the frame; ids absent from the dump are
+        # lost detections = distance inf (toolbox semantics, matching the
+        # live evaluate_full_pipeline accounting)
+        for obj_id, (r_gt, t_gt) in frame.poses.items():
+            row = by_cls.get(obj_id)
+            if row is None:
+                per_obj.setdefault(obj_id, []).append(float("inf"))
                 continue
-            r_gt, t_gt = frame.poses[obj_id]
             mp = np.asarray(models[obj_id], np.float32)
             target = mp @ np.asarray(r_gt, np.float32).T + \
                 np.asarray(t_gt, np.float32)
@@ -115,22 +119,26 @@ def accuracy_table(per_object_distances: Mapping[int, Sequence[float]],
     for obj in sorted(per_object_distances):
         d = list(per_object_distances[obj])
         all_d.extend(d)
+        finite = [x for x in d if np.isfinite(x)]
         row = {
             "object": obj,
             "count": len(d),
             "auc": compute_auc(d, max_dist=max_dist),
             "under_2cm": success_rate(d, 0.02),
-            "mean_distance": float(np.mean(d)) if d else 0.0,
+            # lost detections (inf) count in AUC/rates; the mean stays
+            # over detected objects so it remains a distance
+            "mean_distance": float(np.mean(finite)) if finite else 0.0,
         }
         if diameters is not None and obj in diameters:
             row["success_01d"] = success_rate(d, 0.1 * diameters[obj])
         rows.append(row)
+    all_finite = [x for x in all_d if np.isfinite(x)]
     agg = {
         "object": "all",
         "count": len(all_d),
         "auc": compute_auc(all_d, max_dist=max_dist),
         "under_2cm": success_rate(all_d, 0.02),
-        "mean_distance": float(np.mean(all_d)) if all_d else 0.0,
+        "mean_distance": float(np.mean(all_finite)) if all_finite else 0.0,
     }
     if any("success_01d" in r for r in rows):
         succ = [r["success_01d"] for r in rows if "success_01d" in r]

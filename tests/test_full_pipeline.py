@@ -103,3 +103,51 @@ def test_pspnet_segmenter_arch_trains():
         state = trainer.train_epoch(state, crops, seed=e)
     assert np.isfinite(state["last_epoch_loss"])
     assert state["last_epoch_loss"] < first
+
+
+def test_lost_detection_scored_as_failure(tmp_path):
+    """A GT object the segmenter misses is scored distance=inf (toolbox
+    semantics: failures in AUC/<2cm, excluded from the mean) in BOTH the
+    host and device pipeline modes, and the offline .mat re-evaluation
+    reproduces the same accounting."""
+    from plr2_tpu.eval.report import distances_from_mat_dir
+
+    frame, models = make_scene(num_objects=2, model_points=128, seed=11)
+    lost_id = max(frame.poses)
+
+    def seg(color):
+        lab = frame.label.copy()
+        lab[lab == lost_id] = 0
+        return lab
+
+    pipe = DenseFusionPipeline(num_points=96, num_objects=4)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+    kwargs = dict(sym_list=(), refine_iterations=2, num_points=96)
+
+    full = evaluate_full_pipeline(pipe, variables, [frame], models, **kwargs)
+    assert full.lost_detections == 0 and full.num_objects == 2
+
+    res = evaluate_full_pipeline(pipe, variables, [frame], models,
+                                 seg_predict=seg,
+                                 save_mat_dir=str(tmp_path / "mats"),
+                                 **kwargs)
+    assert res.lost_detections == 1
+    assert res.num_objects == 2  # lost object still counted in the protocol
+    assert np.isinf(res.per_object_distances[lost_id][0])
+    assert np.isfinite(res.mean_distance)  # mean over detected only
+
+    dev = evaluate_full_pipeline(pipe, variables, [frame], models,
+                                 seg_predict=seg, device_pipeline=True,
+                                 **kwargs)
+    assert dev.lost_detections == 1 and dev.num_objects == 2
+    assert np.isinf(dev.per_object_distances[lost_id][0])
+
+    # offline re-eval of the saved .mat dump: the missing object comes
+    # back as inf, the detected one as its finite distance
+    recomputed = distances_from_mat_dir(str(tmp_path / "mats"), [frame],
+                                        models, sym_list=())
+    assert np.isinf(recomputed[lost_id][0])
+    detected = min(frame.poses)
+    np.testing.assert_allclose(recomputed[detected][0],
+                               res.per_object_distances[detected][0],
+                               rtol=1e-5)

@@ -119,6 +119,9 @@ def main():
         print(f"ADD-S < 2 cm:       {res.under_2cm * 100:.2f}%")
         print(f"mean distance:      {res.mean_distance:.4f} m "
               f"({res.num_objects} objects / {res.num_frames} frames)")
+        if res.lost_detections:
+            print(f"lost detections (scored as failures): "
+                  f"{res.lost_detections}")
         if args.save_mat:
             print(f"per-frame poses written to {args.save_mat}")
         _report(args, res.per_object_distances)
