@@ -243,6 +243,11 @@ class YCBDataset:
                   else self.model_points)[obj_idx]
         return dict(
             color=color, depth=fr["depth"], mask=mask,
+            # upstream snaps the crop window from the LABEL mask alone
+            # (get_bbox(mask_label), before the depth intersection and
+            # unaffected by add_front) — depth holes must not shrink the
+            # crop [upstream datasets/ycb/dataset.py, mount empty]
+            bbox_mask=fr["label"] == obj_idx + 1,
             target_r=pose["target_r"], target_t=pose["target_t"],
             model_points=points,
             obj_idx=obj_idx,

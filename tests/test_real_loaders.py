@@ -405,3 +405,30 @@ def test_ycb_cache_preserves_per_visit_randomness(ycb_root):
             np.testing.assert_array_equal(a[k], b[k])
         assert a["obj_idx"] == b["obj_idx"]
     assert cached._frame_cache.hits > 0
+
+
+def test_ycb_bbox_mask_is_label_only(ycb_root):
+    """Upstream YCB snaps the crop window from the LABEL mask alone
+    (get_bbox(mask_label)) — depth holes must not shrink the crop, even
+    though the choose-sampling mask is label AND depth>0."""
+    from plr2_tpu.data.bbox import get_bbox_from_mask
+    from plr2_tpu.data.ycb import YCBDataset
+
+    ds = YCBDataset(ycb_root, "train", num_points=100, num_mesh_points=64,
+                    add_noise=False)
+    fr = ds.get_frame(0)
+    raw = ds.get_raw(0, obj_idx=0)
+    np.testing.assert_array_equal(np.asarray(raw["bbox_mask"]),
+                                  fr["label"] == 1)
+    # knock depth holes into the object's top rows: the sampling mask
+    # shrinks but the bbox (from bbox_mask) must not move
+    h, w = fr["depth"].shape
+    bbox_before = get_bbox_from_mask(raw["bbox_mask"], h, w)
+    rows = np.nonzero(raw["bbox_mask"].any(axis=1))[0]
+    holed = dict(raw)
+    depth = fr["depth"].copy()
+    depth[rows[:2], :] = 0
+    holed["depth"] = depth
+    holed["mask"] = raw["bbox_mask"] & (depth > 0)
+    assert holed["mask"].sum() < raw["bbox_mask"].sum()
+    assert get_bbox_from_mask(holed["bbox_mask"], h, w) == bbox_before
