@@ -51,6 +51,24 @@ def parse_ply_vertices(path: str) -> np.ndarray:
     return pts
 
 
+def largest_component_mask(mask: np.ndarray) -> np.ndarray:
+    """Largest 8-connected blob of a binary mask.
+
+    The upstream eval crops predicted SegNet masks through mask_to_bbox —
+    the bounding rect of the LARGEST cv2 contour [upstream lib/utils /
+    datasets/linemod/dataset.py mode=='eval', mount empty] — so scattered
+    false-positive pixels elsewhere in the frame never inflate the crop
+    window. Connected components reproduce that behavior without cv2."""
+    from scipy import ndimage
+
+    lab, n = ndimage.label(mask, structure=np.ones((3, 3), dtype=np.int32))
+    if n <= 1:
+        return mask
+    sizes = np.bincount(lab.ravel())
+    sizes[0] = 0
+    return lab == sizes.argmax()
+
+
 def subsample_model_points(pts: np.ndarray, num: int,
                            rng: np.random.Generator) -> np.ndarray:
     """Random subset of `num` model points (reference: random.sample delete)."""
@@ -169,9 +187,15 @@ class LinemodDataset:
         t = np.asarray(gt["cam_t_m2c"], dtype=np.float32) / 1000.0
 
         valid = mask & (depth > 0)
+        # GT masks: bbox from the label alone. Predicted masks: bbox from
+        # the largest blob (upstream mask_to_bbox), so stray false-positive
+        # pixels don't blow the window up to the whole frame; sampling
+        # still uses every predicted pixel inside the window, as upstream.
+        bbox_mask = (largest_component_mask(mask)
+                     if self.segnet_results is not None else mask)
         return dict(
             color=color, depth=depth, mask=valid,
-            bbox_mask=mask,  # upstream bboxes come from the label alone
+            bbox_mask=bbox_mask,
             lost=not valid.any(),
             target_r=r, target_t=t,
             model_points=self.model_points[obj],

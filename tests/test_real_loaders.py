@@ -432,3 +432,37 @@ def test_ycb_bbox_mask_is_label_only(ycb_root):
     holed["mask"] = raw["bbox_mask"] & (depth > 0)
     assert holed["mask"].sum() < raw["bbox_mask"].sum()
     assert get_bbox_from_mask(holed["bbox_mask"], h, w) == bbox_before
+
+
+def test_linemod_predicted_mask_bbox_ignores_stray_pixels(linemod_root,
+                                                          tmp_path):
+    """Upstream crops predicted masks through mask_to_bbox (largest
+    contour): a stray false-positive pixel far from the object must not
+    inflate the crop window to the whole frame."""
+    from PIL import Image
+
+    from plr2_tpu.data import LinemodDataset
+    from plr2_tpu.data.bbox import get_bbox_from_mask
+
+    gt_mask = np.asarray(Image.open(
+        os.path.join(linemod_root, "data", "01", "mask", "0001.png"))) > 128
+    noisy = gt_mask.copy()
+    noisy[2, 2] = True  # lone false positive near the image corner
+
+    out = tmp_path / "segnet_results" / "01_label"
+    os.makedirs(out)
+    Image.fromarray(noisy.astype(np.uint8) * 255).save(out / "0001_label.png")
+
+    ds = LinemodDataset(linemod_root, "test", num_points=96,
+                        num_mesh_points=128, objlist=[1],
+                        segnet_results=str(tmp_path / "segnet_results"))
+    raw = ds.get_raw(0)
+    h, w = gt_mask.shape
+    assert not raw["bbox_mask"][2, 2]  # stray blob dropped from the bbox
+    from plr2_tpu.data.linemod import largest_component_mask
+    assert (get_bbox_from_mask(raw["bbox_mask"], h, w)
+            == get_bbox_from_mask(largest_component_mask(gt_mask), h, w))
+    # ... whereas the raw extent of the noisy mask would span the corner
+    assert get_bbox_from_mask(noisy, h, w)[0] <= 2
+    # sampling still sees every predicted pixel inside the window
+    assert raw["mask"][gt_mask & (raw["depth"] > 0)].all()
