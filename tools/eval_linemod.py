@@ -27,6 +27,10 @@ def main():
                         "(JSON) for offline curves via tools/plot_accuracy.py")
     p.add_argument("--plot", type=str, default="",
                    help="write the accuracy-vs-threshold figure (PNG/SVG)")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="per-dispatch eval batch (1 = reference-faithful "
+                        "per-crop mode; >1 pads crops onto a shared canvas "
+                        "for throughput, numerically pinned equal by test)")
     p.add_argument("--num_points", type=int, default=None,
                    help="override the preset's sampled-cloud size (the "
                         "upstream driver's --num_points; default 500)")
@@ -86,7 +90,8 @@ def main():
     res = evaluate(pipe, state.variables, ds,
                    sym_list=cfg.dataset.sym_list,
                    refine_iterations=args.refine_iterations,
-                   diameters=diameters, max_samples=args.max_samples)
+                   diameters=diameters, max_samples=args.max_samples,
+                   batch_size=args.batch_size)
     for obj, s in sorted(res.per_object_success.items()):
         print(f"object {obj:2d}: success {s * 100:.2f}%")
     print(f"mean success rate: {res.mean_success * 100:.2f}%  "

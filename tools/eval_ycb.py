@@ -40,6 +40,10 @@ def main():
     p.add_argument("--plot", type=str, default="",
                    help="write the toolbox-style accuracy-vs-threshold "
                         "figure (PNG/SVG) directly from this run")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="per-dispatch eval batch (1 = reference-faithful "
+                        "per-crop mode; >1 pads crops onto a shared canvas "
+                        "for throughput, numerically pinned equal by test)")
     p.add_argument("--num_points", type=int, default=None,
                    help="override the preset's sampled-cloud size (the "
                         "upstream driver's --num_points; default 1000)")
@@ -130,7 +134,8 @@ def main():
     res = evaluate(pipe, state.variables, ds,
                    sym_list=cfg.dataset.sym_list,
                    refine_iterations=args.refine_iterations,
-                   max_samples=args.max_samples)
+                   max_samples=args.max_samples,
+                   batch_size=args.batch_size)
     for obj, auc in sorted(res.per_object_auc.items()):
         print(f"object {obj:2d}: AUC {auc:6.2f}")
     print(f"ADD-S AUC (<0.1 m): {res.auc:.2f}")
