@@ -56,8 +56,9 @@ class DenseFusionPipeline:
     def cast_variables(variables, dtype=jnp.bfloat16):
         """Cast float params/stats for the fast inference mode (together
         with constructing the pipeline with dtype=jnp.bfloat16: measured
-        2194 frames/s vs 1731 f32 on v5e at batch 64 — the f32 default is
-        the reference-parity mode)."""
+        3,731 frames/s bf16+phase vs 3,145 f32 on v5e at batch 128, round
+        2 — the f32 default is the reference-parity mode; accuracy deltas
+        across modes are pinned in tools/eval_precision_modes.py)."""
         return jax.tree_util.tree_map(
             lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
             variables)
