@@ -277,13 +277,19 @@ class PSPNet(nn.Module):
         f = DilatedResNet18(dtype=self.dtype, name="feats")(x, train=train)
         p = PSPModule(out_features=self.psp_out, sizes=self.sizes,
                       dtype=self.dtype, name="psp")(f)
-        p = nn.Dropout(0.3, deterministic=not train, name="drop_1")(p)
+        # upstream uses nn.Dropout2d: whole CHANNELS drop per sample, not
+        # elements — broadcast over the spatial dims reproduces that
+        # (training-time only; eval-mode forward parity is unaffected)
+        p = nn.Dropout(0.3, deterministic=not train, broadcast_dims=(1, 2),
+                       name="drop_1")(p)
         p = PSPUpsample(256, dtype=self.dtype, use_pallas=self.use_pallas,
                         use_phase=self.phase_upsample, name="up_1")(p)
-        p = nn.Dropout(0.15, deterministic=not train, name="drop_2a")(p)
+        p = nn.Dropout(0.15, deterministic=not train, broadcast_dims=(1, 2),
+                       name="drop_2a")(p)
         p = PSPUpsample(64, dtype=self.dtype, use_pallas=self.use_pallas,
                         use_phase=self.phase_upsample, name="up_2")(p)
-        p = nn.Dropout(0.15, deterministic=not train, name="drop_2b")(p)
+        p = nn.Dropout(0.15, deterministic=not train, broadcast_dims=(1, 2),
+                       name="drop_2b")(p)
         if choose is not None and self.sparse_decode:
             kernel, bias, alpha = _UpsampleParams(
                 out_channels=64, in_features=p.shape[-1], name="up_3")()
