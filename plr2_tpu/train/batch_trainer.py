@@ -113,11 +113,20 @@ class BatchTrainer(Trainer):
         # same params with the same optax.adam structure — reused as-is
         _, step = self._get_step(state)
         losses, dists = [], []
+        interrupted = False
         t0 = time.time()
         for rep in range(self.cfg.train.repeat_epoch):
+            if interrupted:
+                break
             key, k_data = jax.random.split(key)
             for batch in self._batches(dataset, k_data,
                                        seed=state.epoch * 997 + rep):
+                # preemption hook (fit(stop_fn=...)): abandon the epoch at
+                # a batch boundary — the last completed step is already in
+                # state, no partial work to unwind
+                if self._stop_fn is not None and self._stop_fn():
+                    interrupted = True
+                    break
                 key, kd = jax.random.split(key)
                 state.variables, state.opt_state, metrics = step(
                     state.variables, state.opt_state, batch, kd)
@@ -127,6 +136,7 @@ class BatchTrainer(Trainer):
             "train_loss": float(jnp.mean(jnp.asarray(losses))) if losses else 0.0,
             "train_dis": float(jnp.mean(jnp.asarray(dists))) if dists else 0.0,
             "seconds": time.time() - t0,
+            "interrupted": interrupted,
         }
 
     def update_curriculum(self, state: TrainState, test_dis: float) -> TrainState:

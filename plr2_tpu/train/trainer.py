@@ -67,6 +67,10 @@ class Trainer:
             phase_upsample=config.model.phase_upsample,
             dtype=dtype)
         self.sym_list = tuple(config.dataset.sym_list)
+        # optional preemption hook (fit(stop_fn=...)): checked at sample/
+        # batch boundaries so a SIGTERM stops the epoch without applying a
+        # partial optimizer step (utils/interrupt.py)
+        self._stop_fn = None
         # Routed to ops.chamfer_min_distance, whose dispatcher picks the
         # Pallas ADD-S kernel only where it measures faster than the
         # chunked XLA path (target clouds >1024 points; at the production
@@ -208,12 +212,18 @@ class Trainer:
         grads_sum = None
         count = 0
         losses, dists = [], []
+        interrupted = False
         t0 = time.time()
         for rep in range(cfg.repeat_epoch):
+            if interrupted:
+                break
             for s in self._sample_iter(dataset, jax.random.fold_in(key, rep),
                                        add_noise=self.cfg.dataset.add_noise,
                                        shuffle=True,
                                        seed=state.epoch * 997 + rep):
+                if self._stop_fn is not None and self._stop_fn():
+                    interrupted = True
+                    break
                 args = (state.variables, s.img[None], s.points[None],
                         s.choose[None], s.target[None], s.model_points[None],
                         s.idx[None])
@@ -241,6 +251,7 @@ class Trainer:
             "train_loss": float(jnp.mean(jnp.asarray(losses))) if losses else 0.0,
             "train_dis": float(jnp.mean(jnp.asarray(dists))) if dists else 0.0,
             "seconds": time.time() - t0,
+            "interrupted": interrupted,
         }
 
     def test_epoch(self, state: TrainState, dataset, key) -> float:
@@ -285,27 +296,49 @@ class Trainer:
 
     def fit(self, state: TrainState, train_ds, test_ds, key,
             epochs: Optional[int] = None, log_fn=print,
-            checkpoint_fn=None, save_last_fn=None) -> TrainState:
+            checkpoint_fn=None, save_last_fn=None,
+            stop_fn=None) -> TrainState:
         """Epoch loop. `checkpoint_fn(state, test_dis)` fires on
         best-metric improvement (reference semantics); `save_last_fn(state)`
         fires every epoch for crash-resume (tag 'last' — restart recovery
-        beyond the reference's manual --resume_* flags)."""
+        beyond the reference's manual --resume_* flags). `stop_fn` is the
+        graceful-preemption hook (utils/interrupt.GracefulInterrupt): when
+        it reports True the current epoch is abandoned at the next sample/
+        batch boundary with no partial optimizer step, the pre-epoch epoch
+        counter is restored, 'last' is saved, and fit returns — auto-resume
+        then replays the interrupted epoch."""
         epochs = epochs or self.cfg.train.nepoch
-        self._sync_refine_meshes(state, train_ds, test_ds)  # resume case
-        for _ in range(epochs):
-            state.epoch += 1
-            key, k1, k2 = jax.random.split(key, 3)
-            state, info = self.train_epoch(state, train_ds, k1)
-            test_dis = self.test_epoch(state, test_ds, k2)
-            improved = test_dis < state.best_test
-            state = self.update_curriculum(state, test_dis)
-            self._sync_refine_meshes(state, train_ds, test_ds)
-            log_fn(f"epoch {state.epoch}: loss={info['train_loss']:.5f} "
-                   f"train_dis={info['train_dis']:.5f} test_dis={test_dis:.5f} "
-                   f"best={state.best_test:.5f} lr={state.lr:g} w={state.w:g} "
-                   f"refine={state.refine_started} ({info['seconds']:.1f}s)")
-            if improved and checkpoint_fn is not None:
-                checkpoint_fn(state, test_dis)
-            if save_last_fn is not None:
-                save_last_fn(state)
-        return state
+        self._stop_fn = stop_fn
+        try:
+            self._sync_refine_meshes(state, train_ds, test_ds)  # resume case
+            for _ in range(epochs):
+                state.epoch += 1
+                key, k1, k2 = jax.random.split(key, 3)
+                state, info = self.train_epoch(state, train_ds, k1)
+                if info.get("interrupted"):
+                    state.epoch -= 1
+                    if save_last_fn is not None:
+                        save_last_fn(state)
+                    log_fn(f"interrupt requested: stopped during epoch "
+                           f"{state.epoch + 1}; state saved at epoch "
+                           f"{state.epoch} (resume replays the epoch)")
+                    return state
+                test_dis = self.test_epoch(state, test_ds, k2)
+                improved = test_dis < state.best_test
+                state = self.update_curriculum(state, test_dis)
+                self._sync_refine_meshes(state, train_ds, test_ds)
+                log_fn(f"epoch {state.epoch}: loss={info['train_loss']:.5f} "
+                       f"train_dis={info['train_dis']:.5f} test_dis={test_dis:.5f} "
+                       f"best={state.best_test:.5f} lr={state.lr:g} w={state.w:g} "
+                       f"refine={state.refine_started} ({info['seconds']:.1f}s)")
+                if improved and checkpoint_fn is not None:
+                    checkpoint_fn(state, test_dis)
+                if save_last_fn is not None:
+                    save_last_fn(state)
+                if stop_fn is not None and stop_fn():
+                    log_fn(f"interrupt requested: stopped cleanly after epoch "
+                           f"{state.epoch}")
+                    return state
+            return state
+        finally:
+            self._stop_fn = None

@@ -158,9 +158,16 @@ def main():
         print(json.dumps({"frame": i, "ms": round(ms, 2),
                           "objects": objs}), flush=True)
 
+    # graceful drain: first SIGTERM/SIGINT finishes the in-flight frame
+    # (batch) and stops emitting cleanly; a second signal aborts
+    from plr2_tpu.utils.interrupt import GracefulInterrupt
+    stop = GracefulInterrupt().__enter__()
+
     served = 0
     if args.batch <= 1:
         for color, depth, label, oids, mps, intr in frames():
+            if stop():
+                break
             t0 = time.perf_counter()
             poses = fe.run(variables, jnp.asarray(color),
                            jnp.asarray(depth), jnp.asarray(label),
@@ -173,6 +180,9 @@ def main():
     else:
         buf = []
         for item in frames():
+            if stop():
+                buf = []
+                break
             buf.append(item)
             if len(buf) < args.batch:
                 continue
@@ -192,6 +202,8 @@ def main():
         # through the single-frame program (one extra compile) rather
         # than dropping them
         for color, depth, label, oids, mps, intr in buf:
+            if stop():
+                break
             t0 = time.perf_counter()
             poses = fe.run(variables, jnp.asarray(color),
                            jnp.asarray(depth), jnp.asarray(label),
@@ -201,6 +213,10 @@ def main():
             np.asarray(poses.quat)
             emit(served, (time.perf_counter() - t0) * 1e3, oids, poses)
             served += 1
+    stop.__exit__()
+    if stop():
+        print("interrupt requested: drained in-flight work and stopped",
+              file=sys.stderr)
     print(f"served {served} frames", file=sys.stderr)
 
 

@@ -60,6 +60,11 @@ def parse_args():
                    help="host-side decoded-frame LRU cache budget in MB "
                         "per dataset (0 = off); real-data epochs re-decode "
                         "identical PNGs every pass — see data/frame_cache.py")
+    p.add_argument("--num_points", type=int, default=None,
+                   help="override the preset's sampled-cloud size (same "
+                        "override the eval CLIs expose; tests/small runs)")
+    p.add_argument("--mesh_points", type=int, default=None,
+                   help="override the preset's model-mesh point count")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args()
@@ -103,6 +108,17 @@ def main():
             sym_slots=args.sym_slots))
     else:
         args.nepoch = cfg.train.nepoch
+    if args.num_points or args.mesh_points:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                num_points=args.num_points or cfg.model.num_points),
+            dataset=dataclasses.replace(
+                cfg.dataset,
+                num_points=args.num_points or cfg.dataset.num_points,
+                num_mesh_points=(args.mesh_points
+                                 or cfg.dataset.num_mesh_points)))
 
     if args.synthetic:
         np_ = cfg.model.num_points
@@ -145,23 +161,32 @@ def main():
     else:
         trainer = Trainer(cfg)
     import jax.random
-    state = trainer.init_state(jax.random.key(args.seed))
-    ckpt = CheckpointManager(os.path.join(args.outf, args.dataset))
-    if args.resume_posenet or args.resume_refinenet:
-        state = ckpt.restore_into(state, tag=args.resume_posenet or "best")
-        logger.info(f"resumed from epoch {state.epoch} "
-                    f"(best_test={state.best_test:.5f})")
-    elif ckpt.restore("last") is not None:
-        # crash recovery: continue from the most recent epoch automatically
-        state = ckpt.restore_into(state, tag="last")
-        logger.info(f"auto-resumed from last checkpoint (epoch {state.epoch})")
+    # graceful preemption: installed BEFORE model init so a SIGTERM/SIGINT
+    # landing anywhere after startup (long first compiles included) latches
+    # instead of killing the process; fit stops at the next sample boundary
+    # and saves 'last' (auto-resume below replays the epoch). A second
+    # signal aborts immediately.
+    from plr2_tpu.utils.interrupt import GracefulInterrupt
+    with GracefulInterrupt() as stop:
+        state = trainer.init_state(jax.random.key(args.seed))
+        ckpt = CheckpointManager(os.path.join(args.outf, args.dataset))
+        if args.resume_posenet or args.resume_refinenet:
+            state = ckpt.restore_into(state, tag=args.resume_posenet or "best")
+            logger.info(f"resumed from epoch {state.epoch} "
+                        f"(best_test={state.best_test:.5f})")
+        elif ckpt.restore("last") is not None:
+            # crash recovery: continue from the most recent epoch automatically
+            state = ckpt.restore_into(state, tag="last")
+            logger.info(f"auto-resumed from last checkpoint (epoch {state.epoch})")
 
-    logger.info(f"training {args.dataset}: {len(train_ds)} train / "
-                f"{len(test_ds)} test samples")
-    trainer.fit(state, train_ds, test_ds, jax.random.key(args.seed + 1),
-                epochs=args.nepoch, log_fn=logger.info,
-                checkpoint_fn=lambda s, d: ckpt.save(s, d),
-                save_last_fn=lambda s: ckpt.save(s, s.best_test, tag="last"))
+        logger.info(f"training {args.dataset}: {len(train_ds)} train / "
+                    f"{len(test_ds)} test samples")
+        trainer.fit(state, train_ds, test_ds, jax.random.key(args.seed + 1),
+                    epochs=args.nepoch, log_fn=logger.info,
+                    checkpoint_fn=lambda s, d: ckpt.save(s, d),
+                    save_last_fn=lambda s: ckpt.save(s, s.best_test,
+                                                     tag="last"),
+                    stop_fn=stop)
 
 
 if __name__ == "__main__":

@@ -65,16 +65,22 @@ def main():
                          crop=args.crop, batch=args.batch_size,
                          arch=args.arch)
     state = trainer.init_state(jax.random.key(0))
-    for epoch in range(1, args.nepoch + 1):
-        state = trainer.train_epoch(state, frames, seed=epoch)
-        logger.info(f"epoch {epoch}: loss={state['last_epoch_loss']:.5f} "
-                    f"({state['seconds']:.1f}s)")
-        save_variables(os.path.join(args.save_path, "last.msgpack"),
-                       state["variables"])
-        if state["last_epoch_loss"] < state["best_loss"]:
-            state["best_loss"] = state["last_epoch_loss"]
-            save_variables(os.path.join(args.save_path, "best.msgpack"),
+    from plr2_tpu.utils.interrupt import GracefulInterrupt
+    with GracefulInterrupt() as stop:
+        for epoch in range(1, args.nepoch + 1):
+            state = trainer.train_epoch(state, frames, seed=epoch)
+            logger.info(f"epoch {epoch}: loss={state['last_epoch_loss']:.5f} "
+                        f"({state['seconds']:.1f}s)")
+            save_variables(os.path.join(args.save_path, "last.msgpack"),
                            state["variables"])
+            if state["last_epoch_loss"] < state["best_loss"]:
+                state["best_loss"] = state["last_epoch_loss"]
+                save_variables(os.path.join(args.save_path, "best.msgpack"),
+                               state["variables"])
+            if stop():
+                logger.info(f"interrupt requested: stopped cleanly after "
+                            f"epoch {epoch} ('last' saved)")
+                break
 
 
 if __name__ == "__main__":
