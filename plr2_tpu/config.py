@@ -94,6 +94,12 @@ class TrainConfig:
     resume_posenet: str = ""
     resume_refinenet: str = ""
     start_epoch: int = 1
+    # Fuse each gradient-accumulation window into ONE on-device program
+    # (train/fused_accum.py): per-sample grads summed, batch-1 BN updated
+    # sequentially, one optimizer step — the reference per-sample loop's
+    # semantics at batched dispatch cost. Ignored in --batched mode
+    # (BatchTrainer is the deliberate mean-grad/batch-BN deviation).
+    fused_accum: bool = False
     # Batched-mode mixed-batch ADD-S compaction (losses/add_loss.py
     # max_sym_slots): >0 = chamfer at most this many symmetric samples
     # per batch through static compaction slots (exact; falls back to the

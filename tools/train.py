@@ -47,6 +47,11 @@ def parse_args():
                    help="batched throughput mode (one XLA program per "
                         "optimizer step) instead of the reference-faithful "
                         "per-sample accumulation")
+    p.add_argument("--fused", action="store_true",
+                   help="fuse each gradient-accumulation window into one "
+                        "on-device program: exact per-sample semantics "
+                        "(summed grads, sequential batch-1 BN) at batched "
+                        "dispatch cost (train/fused_accum.py)")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard batches over this many devices "
                         "(jax.sharding Mesh data axis; implies --batched); "
@@ -105,7 +110,7 @@ def main():
             resume_posenet=args.resume_posenet,
             resume_refinenet=args.resume_refinenet,
             start_epoch=args.start_epoch, workers=args.workers,
-            sym_slots=args.sym_slots))
+            sym_slots=args.sym_slots, fused_accum=args.fused))
     else:
         args.nepoch = cfg.train.nepoch
     if args.num_points or args.mesh_points:
@@ -154,10 +159,21 @@ def main():
 
     logger = setup_logger(
         "train", os.path.join(args.log_dir, f"train_{args.dataset}.log"))
-    if args.batched or args.data_parallel or cfg.data_parallel > 1:
+    batched = args.batched or args.data_parallel or cfg.data_parallel > 1
+    fused = args.fused or cfg.train.fused_accum
+    if batched and fused:
+        raise SystemExit("--fused is the exact-semantics mode; --batched/"
+                         "--data_parallel is the mean-grad deviation — "
+                         "pick one")
+    if batched:
         from plr2_tpu.train import BatchTrainer
         trainer = BatchTrainer(cfg)
         logger.info(f"batched mode (data_parallel={cfg.data_parallel})")
+    elif fused:
+        from plr2_tpu.train import FusedTrainer
+        trainer = FusedTrainer(cfg)
+        logger.info("fused accumulation mode (exact per-sample semantics, "
+                    "one program per window)")
     else:
         trainer = Trainer(cfg)
     import jax.random
