@@ -45,6 +45,25 @@ class FusedTrainer(Trainer):
 
     def __init__(self, config: PipelineConfig,
                  pipe: Optional[DenseFusionPipeline] = None):
+        if pipe is None and config.model.phase_upsample:
+            # The phase-decomposed upsample conv inside this trainer's
+            # batch-1 lax.scan crashes the TPU XLA compiler
+            # (space_to_batch_converter.cc:543 "Check failed:
+            # std::abs(halo_size - low_padding) <= spatial_split_size",
+            # measured on v5e / jax 0.9.0). phase_upsample is an exact
+            # rewrite — same params, same outputs — so forcing it off here
+            # changes speed only. Measured cost: none at window 8 (the
+            # fused step is scan-bound, 28.2 ms either way).
+            import dataclasses
+            import jax.numpy as _jnp
+            dtype = (_jnp.bfloat16
+                     if config.model.dtype in ("bfloat16", "bf16")
+                     else _jnp.float32)
+            pipe = DenseFusionPipeline(
+                num_points=config.model.num_points,
+                num_objects=config.model.num_objects,
+                use_pallas=config.model.use_pallas_model,
+                phase_upsample=False, dtype=dtype)
         super().__init__(config, pipe)
         # one compiled step per (stage, lr, w) curriculum point; jit
         # additionally caches per canvas/mesh shape

@@ -18,12 +18,14 @@ from plr2_tpu.train import Trainer, CheckpointManager
 
 
 def _tiny_config(**train_kw):
+    train_kw.setdefault("batch_size", 2)
+    train_kw.setdefault("refine_iterations", 2)
     return PipelineConfig(
         dataset=DatasetConfig(name="synthetic", num_points=96, num_objects=4,
                               num_mesh_points=128, sym_list=(1,),
                               add_noise=True),
         model=ModelConfig(num_points=96, num_objects=4, use_pallas=False),
-        train=TrainConfig(batch_size=2, refine_iterations=2, **train_kw),
+        train=TrainConfig(**train_kw),
     )
 
 
@@ -72,6 +74,48 @@ def test_trainer_test_epoch_and_curriculum(tiny_ds):
     assert state.w == pytest.approx(cfg.train.w * cfg.train.w_rate)
     state = tr.update_curriculum(state, 0.012)  # < refine_margin 0.013
     assert state.refine_started
+
+
+def test_batch_trainer_test_epoch_matches_per_sample_on_stacked(tiny_ds):
+    """BatchTrainer.test_epoch (one dispatch per batch, cycle-padded tail)
+    == per-sample eval_dis over the same stacked canvases. batch_size=3 on
+    4 samples exercises the padded tail: the cycled duplicate must not be
+    scored."""
+    from plr2_tpu.train import BatchTrainer
+
+    cfg = _tiny_config(batch_size=3)
+    tr = BatchTrainer(cfg)
+    state = tr.init_state(jax.random.key(0), crop_hw=80)
+    got = tr.test_epoch(state, tiny_ds, jax.random.key(2))
+
+    # mirror: same sample stream, same stacking, batch-1 eval_dis slices
+    dists = []
+    pending = []
+
+    def flush():
+        if not pending:
+            return
+        n = len(pending)
+        filled = [pending[i % n] for i in range(cfg.train.batch_size)]
+        d = tr._stack(filled)
+        for i in range(n):
+            dis = tr.eval_dis(
+                state.variables, d["img"][i:i + 1], d["points"][i:i + 1],
+                d["choose"][i:i + 1], d["target"][i:i + 1],
+                d["model_points"][i:i + 1], d["idx"][i:i + 1],
+                refine_iterations=0)
+            dists.append(float(jnp.mean(dis)))
+        pending.clear()
+
+    for s in tr._sample_iter(tiny_ds, jax.random.key(2), add_noise=False,
+                             shuffle=False, seed=0):
+        pending.append(s)
+        if len(pending) == cfg.train.batch_size:
+            flush()
+    flush()
+    want = float(np.mean(dists))
+    assert len(dists) == len(tiny_ds)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
 def test_trainer_refine_stage_updates_refiner_only(tiny_ds):

@@ -8,7 +8,10 @@ was exactly that bound). Here K optimizer steps run INSIDE one jitted
 lax.fori_loop carrying (variables, opt_state) — the true on-device step
 time — with null-program overhead subtracted.
 
-  python tools/bench_train.py [batch] [--refine] [--f32]
+  python tools/bench_train.py [batch] [--refine] [--bf16] [--fused]
+
+--fused benches the exact-semantics fused accumulation window
+(train/fused_accum.py) with window size = batch.
 """
 
 import os
@@ -40,6 +43,8 @@ def main():
     inner, reps = 8, 3
     crop, n_points, num_objects = 160, 1000, 21
 
+    fused = "--fused" in sys.argv
+
     from plr2_tpu.parallel import make_train_step
     from plr2_tpu.pipeline import DenseFusionPipeline
 
@@ -47,12 +52,31 @@ def main():
                                phase_upsample=phase,
                                dtype=jnp.bfloat16 if bf16 else jnp.float32)
     variables = pipe.init(jax.random.key(0), crop_hw=crop, batch=1)
-    init_fn, step = make_train_step(
-        pipe, sym_list=(0, 3), w=0.015, lr=1e-4,
-        refine_iterations=2 if refine else 0,
-        use_pallas=jax.default_backend() == "tpu", remat=remat,
-        sym_slots=sym_slots)
-    opt_state = init_fn(variables)
+    if fused:
+        # exact per-sample accumulation semantics fused into one program
+        # (train/fused_accum.py): batch = the accumulation window size
+        import optax
+        from plr2_tpu.train.fused_accum import make_fused_accum_step
+        inner_step = make_fused_accum_step(
+            pipe, sym_list=(0, 3), w=0.015, lr=1e-4,
+            refine_iterations=2 if refine else 0,
+            use_pallas=jax.default_backend() == "tpu")
+        target = "refiner" if refine else "posenet"
+        opt_state = optax.adam(1e-4).init(variables[target]["params"])
+
+        def step(v, o, batch_data, key):
+            return inner_step(v, o, batch_data,
+                              jax.random.split(key, batch))
+    else:
+        init_fn, step_ = make_train_step(
+            pipe, sym_list=(0, 3), w=0.015, lr=1e-4,
+            refine_iterations=2 if refine else 0,
+            use_pallas=jax.default_backend() == "tpu", remat=remat,
+            sym_slots=sym_slots)
+        opt_state = init_fn(variables)
+
+        def step(v, o, batch_data, key):
+            return step_(v, o, batch_data, key)
 
     ks = jax.random.split(jax.random.key(1), 5)
     batch_data = {
@@ -73,7 +97,7 @@ def main():
             v, o, acc = carry
             v, o, m = step(v, o, batch_data,
                            jax.random.fold_in(jax.random.key(7), i))
-            return (v, o, acc + m["loss"])
+            return (v, o, acc + jnp.sum(m["loss"]))
         v, _, acc = jax.lax.fori_loop(
             0, inner, body, (variables, opt_state, jnp.float32(0)))
         # consume an updated leaf from BOTH nets so the final iteration's
@@ -99,7 +123,8 @@ def main():
     total = (time.perf_counter() - t0) / reps
     per_step = max(total - overhead, 1e-9) / inner
     print(f"train step (batch {batch}, refine={refine}, phase={phase}, "
-          f"remat={remat}, sym_slots={sym_slots}, bf16={bf16}): "
+          f"remat={remat}, sym_slots={sym_slots}, bf16={bf16}, "
+          f"fused={fused}): "
           f"{per_step * 1e3:.2f} ms/step, "
           f"{batch / per_step:.1f} samples/s", flush=True)
 
