@@ -28,10 +28,16 @@ def raw_to_sample(raw: Dict, key: jax.Array, num_points: int,
     border list (SURVEY.md 'hard parts' (b))."""
     ih = img_h or raw["depth"].shape[0]
     iw = img_w or raw["depth"].shape[1]
-    # Upstream crops around the label mask alone (before depth-validity
-    # intersection); loaders that distinguish the two pass `bbox_mask`.
-    rmin, rmax, cmin, cmax = get_bbox_from_mask(
-        raw.get("bbox_mask", raw["mask"]), ih, iw)
+    if raw.get("bbox") is not None:
+        # explicit pre-snapped window — the PoseCNN eval protocol crops
+        # from the DETECTION box (upstream get_bbox(posecnn_rois)), not
+        # from the predicted mask (data/posecnn.py roi_bbox)
+        rmin, rmax, cmin, cmax = raw["bbox"]
+    else:
+        # Upstream crops around the label mask alone (before depth-validity
+        # intersection); loaders that distinguish the two pass `bbox_mask`.
+        rmin, rmax, cmin, cmax = get_bbox_from_mask(
+            raw.get("bbox_mask", raw["mask"]), ih, iw)
     intr = raw["intrinsics"]
     intr_vec = jnp.asarray([intr["cx"], intr["cy"], intr["fx"], intr["fy"],
                             intr["cam_scale"]], dtype=jnp.float32)

@@ -10,9 +10,24 @@ like the reference, as an alternative to GT labels or the in-repo SegNet.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+from plr2_tpu.data.bbox import snap_bbox
+
+
+def roi_bbox(roi_row: np.ndarray, img_h: int = 480, img_w: int = 640
+             ) -> Tuple[int, int, int, int]:
+    """Snap the crop window from a PoseCNN detection row — the upstream
+    eval protocol's `get_bbox(posecnn_rois)` (tools/eval_ycb.py [upstream,
+    mount empty]): rois rows are [_, cls, x1, y1, x2, y2]; the tight box
+    is (y1+1, y2-1, x1+1, x2-1), then the usual border-list snap."""
+    rmin = int(roi_row[3]) + 1
+    rmax = int(roi_row[5]) - 1
+    cmin = int(roi_row[2]) + 1
+    cmax = int(roi_row[4]) - 1
+    return snap_bbox(rmin, rmax, cmin, cmax, img_h, img_w)
 
 
 def load_posecnn_result(mat_path: str) -> Dict:
@@ -45,6 +60,18 @@ class PoseCNNMasks:
         if r["rois"] is None:
             return None
         return [int(x) for x in r["rois"][:, 1]]
+
+    def detections(self, frame_idx: int, img_h: int = 480, img_w: int = 640
+                   ) -> Optional[List[Tuple[int, Tuple[int, int, int, int]]]]:
+        """The upstream eval_ycb iteration unit: the frame's PoseCNN
+        detections as (object id, ROI-snapped crop window) in rois-row
+        order. None when the .mat carries no `rois` (labels-only dumps) —
+        callers then fall back to mask-derived windows over GT objects."""
+        r = self._load(frame_idx)
+        if r["rois"] is None:
+            return None
+        return [(int(row[1]), roi_bbox(row, img_h, img_w))
+                for row in np.atleast_2d(r["rois"])]
 
     def _load(self, frame_idx: int) -> Dict:
         return load_posecnn_result(

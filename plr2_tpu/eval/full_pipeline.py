@@ -40,6 +40,10 @@ class FullPipelineResult:
     # empty]); silently dropping them would inflate AUC under predicted
     # (PoseCNN/SegNet) masks
     lost_detections: int = 0
+    # ROI mode only: PoseCNN detections of classes with no GT pose in the
+    # frame — estimated and exported (the upstream dump carries every
+    # detection row) but never scored (the toolbox matches on GT ids)
+    extra_detections: int = 0
     per_frame_poses: List[Dict] = field(default_factory=list)
     # raw ADD(-S) distances per object id — input to eval/report.py
     per_object_distances: Dict[int, List[float]] = field(default_factory=dict)
@@ -97,30 +101,79 @@ def evaluate_full_pipeline(
     # sequential mask providers (PoseCNNMasks) track frame order internally
     if seg_predict is not None and hasattr(seg_predict, "reset"):
         seg_predict.reset()
+    # PoseCNN results with `rois` switch the protocol to the upstream
+    # eval_ycb iteration: crop windows snap from the DETECTION box
+    # (get_bbox(posecnn_rois) [upstream, mount empty]) and the per-frame
+    # unit is the detection list, not the GT object list
+    use_rois = seg_predict is not None and hasattr(seg_predict, "detections")
     key = jax.random.key(0)
     dists: List[float] = []
     result = FullPipelineResult()
 
+    def _lost(obj_id):
+        dists.append(float("inf"))
+        result.per_object_distances.setdefault(obj_id, []).append(
+            float("inf"))
+        result.lost_detections += 1
+
     for fi, frame in enumerate(frames):
         label = (seg_predict(frame.color) if seg_predict is not None
                  else frame.label)
+        img_h, img_w = frame.depth.shape
+        det_map = None
+        if use_rois:
+            dets = seg_predict.detections(fi, img_h, img_w)
+            if dets is not None:
+                det_map = {}
+                for obj_id, box in dets:
+                    det_map.setdefault(obj_id, box)
         samples, objs = [], []
-        for obj_id, (r_gt, t_gt) in frame.poses.items():
-            mask = (label == obj_id) & (frame.depth > 0)
-            if mask.sum() < min_mask_pixels:
-                dists.append(float("inf"))
-                result.per_object_distances.setdefault(obj_id, []).append(
-                    float("inf"))
-                result.lost_detections += 1
-                continue
+
+        def _queue(obj_id, mask, r_gt, t_gt, bbox, scored):
+            nonlocal key
             raw = dict(
                 color=frame.color, depth=frame.depth.astype(np.float32),
                 mask=mask, target_r=r_gt, target_t=t_gt,
                 model_points=models[obj_id], obj_idx=obj_id - 1,
-                intrinsics=frame.intrinsics)
+                intrinsics=frame.intrinsics, bbox=bbox)
             key, sub = jax.random.split(key)
             samples.append(raw_to_sample(raw, sub, n_pts, add_noise=False))
-            objs.append(obj_id)
+            objs.append((obj_id, scored))
+
+        if det_map is not None:
+            for obj_id, (r_gt, t_gt) in frame.poses.items():
+                box = det_map.get(obj_id)
+                if box is None:  # GT object PoseCNN never detected
+                    _lost(obj_id)
+                    continue
+                mask = (label == obj_id) & (frame.depth > 0)
+                rmin, rmax, cmin, cmax = box
+                # the upstream lost-detection check counts valid mask
+                # pixels INSIDE the detection window
+                if mask[rmin:rmax, cmin:cmax].sum() < min_mask_pixels:
+                    _lost(obj_id)
+                    continue
+                _queue(obj_id, mask, r_gt, t_gt, box, scored=True)
+            for obj_id, box in det_map.items():
+                if obj_id in frame.poses:
+                    continue
+                result.extra_detections += 1
+                if obj_id not in models:
+                    continue  # no mesh to estimate against
+                mask = (label == obj_id) & (frame.depth > 0)
+                rmin, rmax, cmin, cmax = box
+                if mask[rmin:rmax, cmin:cmax].sum() < min_mask_pixels:
+                    continue
+                _queue(obj_id, mask,
+                       np.eye(3, dtype=np.float32),
+                       np.zeros(3, np.float32), box, scored=False)
+        else:
+            for obj_id, (r_gt, t_gt) in frame.poses.items():
+                mask = (label == obj_id) & (frame.depth > 0)
+                if mask.sum() < min_mask_pixels:
+                    _lost(obj_id)
+                    continue
+                _queue(obj_id, mask, r_gt, t_gt, None, scored=True)
         if not samples:
             # no detected object in this frame — mirror the device mode:
             # empty poses entry (lost GT objects were scored inf above)
@@ -143,12 +196,13 @@ def evaluate_full_pipeline(
                             batch.idx, refine_iterations=refine_iterations)
 
         frame_poses = {}
-        for bi, obj_id in enumerate(objs):
-            dis = float(pose_distance(
-                batch.model_points[bi], est.quat[bi], est.trans[bi],
-                batch.target[bi], symmetric=(obj_id - 1) in sym_list))
-            dists.append(dis)
-            result.per_object_distances.setdefault(obj_id, []).append(dis)
+        for bi, (obj_id, scored) in enumerate(objs):
+            if scored:
+                dis = float(pose_distance(
+                    batch.model_points[bi], est.quat[bi], est.trans[bi],
+                    batch.target[bi], symmetric=(obj_id - 1) in sym_list))
+                dists.append(dis)
+                result.per_object_distances.setdefault(obj_id, []).append(dis)
             frame_poses[obj_id] = np.concatenate(
                 [np.asarray(est.quat[bi]), np.asarray(est.trans[bi])])
         result.per_frame_poses.append(frame_poses)

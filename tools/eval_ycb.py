@@ -126,6 +126,9 @@ def main():
         if res.lost_detections:
             print(f"lost detections (scored as failures): "
                   f"{res.lost_detections}")
+        if res.extra_detections:
+            print(f"extra detections (exported, not scored): "
+                  f"{res.extra_detections}")
         if args.save_mat:
             print(f"per-frame poses written to {args.save_mat}")
         _report(args, res.per_object_distances)
