@@ -175,6 +175,104 @@ def import_refinenet_state_dict(state_dict: Dict[str, "object"],
     return variables, unmatched
 
 
+def _bn_partner(bn_path: Tuple[str, ...]) -> Tuple[str, ...]:
+    """The conv a BatchNorm normalizes: bnX -> convX, downsample_bn ->
+    downsample_conv (same prefix)."""
+    *prefix, bn = bn_path
+    if bn == "downsample_bn":
+        return tuple(prefix) + ("downsample_conv",)
+    return tuple(prefix) + ("conv" + bn[2:],)
+
+
+def import_torchvision_resnet18(state_dict: Dict[str, "object"],
+                                variables: Dict
+                                ) -> Tuple[Dict, List[str], List[str]]:
+    """Partial ImageNet-pretrained load: a torchvision `resnet18`
+    state_dict into the PoseNet's deep-stem DilatedResNet18 trunk
+    (upstream lib/extractors.py loads pretrained resnet weights before
+    training [upstream, mount empty — VERIFY]; the deep 3-conv stem
+    follows the public pspnet-pytorch recipe, for which torchvision has
+    no exact counterpart).
+
+    Structural differences mean a partial load by design:
+      * the stem (torchvision: one conv7x7; here: three conv3x3) and
+        layer1 block0's input width (64 vs 128, plus our extra
+        downsample) have NO torchvision counterpart — those tensors keep
+        their initialization;
+      * every shape-compatible conv of layer1-4 (incl. downsamples)
+        imports — that is layers 2-4 completely plus layer1's remaining
+        convs, the bulk of the trunk's capacity;
+      * a BatchNorm (params AND running stats) imports only when the conv
+        it normalizes imported — ImageNet statistics calibrated against a
+        randomly-initialized conv would hurt, not help.
+
+    Operates on the POSENET variables tree. Returns
+    (variables, imported source keys, skipped source keys)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    imported: List[str] = []
+    skipped: List[str] = []
+    conv_ok = set()
+    bn_items = []
+
+    for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked") or key.startswith("fc."):
+            skipped.append(key)
+            continue
+        v = np.asarray(getattr(val, "numpy", lambda: val)())
+        mapped = _map_resnet_key(key.split("."))
+        if mapped is None:
+            skipped.append(key)
+            continue
+        if mapped[-1] == "kernel":
+            try:
+                ok = _set(params, ["cnn", "feats"] + mapped, _conv2d(v))
+            except ValueError:  # shape mismatch: stem / layer1 block0
+                ok = False
+            (imported if ok else skipped).append(key)
+            if ok:
+                conv_ok.add(tuple(mapped[:-1]))
+        else:
+            bn_items.append((key, v, mapped))
+
+    for key, v, mapped in bn_items:
+        bn_path = tuple(mapped[:-1])
+        if _bn_partner(bn_path) not in conv_ok:
+            skipped.append(key)
+            continue
+        leaf = key.split(".")[-1]
+        try:
+            if leaf in _BN_PARAM:
+                ok = _set(params,
+                          ["cnn", "feats"] + list(bn_path) + [_BN_PARAM[leaf]],
+                          v)
+            elif leaf in _BN_STAT:
+                ok = _set(stats,
+                          ["cnn", "feats"] + list(bn_path) + [_BN_STAT[leaf]],
+                          v)
+            else:
+                ok = False
+        except ValueError:
+            ok = False
+        (imported if ok else skipped).append(key)
+    return variables, imported, skipped
+
+
+def load_pretrained_trunk(path: str, variables: Dict
+                          ) -> Tuple[Dict, List[str], List[str]]:
+    """Load a torchvision resnet18 .pth into the pipeline variables tree's
+    PoseNet trunk (tools/train.py --pretrained_trunk). Accepts either a
+    bare state_dict or a saved module."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    variables["posenet"], imported, skipped = import_torchvision_resnet18(
+        sd, variables["posenet"])
+    return variables, imported, skipped
+
+
 def load_reference_checkpoint(posenet_path: str, variables: Dict,
                               refinenet_path: str = "") -> Dict:
     """Load .pth file(s) (torch CPU) into a pipeline variables tree."""

@@ -36,6 +36,12 @@ def parse_args():
     p.add_argument("--iteration", type=int, default=2)
     p.add_argument("--nepoch", type=int, default=500)
     p.add_argument("--repeat_epoch", type=int, default=1)
+    p.add_argument("--pretrained_trunk", type=str, default="",
+                   help="torchvision resnet18 .pth: partial ImageNet "
+                        "pretrained load of the PSPNet trunk (the upstream "
+                        "lib/extractors.py pretrained init; stem/layer1 "
+                        "dims differ from torchvision and keep their init "
+                        "- see models/torch_import.py)")
     p.add_argument("--resume_posenet", type=str, default="")
     p.add_argument("--resume_refinenet", type=str, default="")
     p.add_argument("--start_epoch", type=int, default=1)
@@ -185,6 +191,13 @@ def main():
     from plr2_tpu.utils.interrupt import GracefulInterrupt
     with GracefulInterrupt() as stop:
         state = trainer.init_state(jax.random.key(args.seed))
+        if args.pretrained_trunk:
+            from plr2_tpu.models.torch_import import load_pretrained_trunk
+            state.variables, imported, skipped = load_pretrained_trunk(
+                args.pretrained_trunk, state.variables)
+            logger.info(f"pretrained trunk {args.pretrained_trunk}: "
+                        f"{len(imported)} tensors imported, {len(skipped)} "
+                        f"without a deep-stem counterpart kept at init")
         ckpt = CheckpointManager(os.path.join(args.outf, args.dataset))
         if args.resume_posenet or args.resume_refinenet:
             state = ckpt.restore_into(state, tag=args.resume_posenet or "best")
