@@ -20,7 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> None:
+                     process_id: Optional[int] = None,
+                     cpu_collectives: Optional[str] = "gloo") -> None:
     """Multi-host initialization over DCN (`jax.distributed.initialize`).
 
     Single-host/single-chip runs (this environment, and the reference's
@@ -29,9 +30,21 @@ def init_distributed(coordinator_address: Optional[str] = None,
     mesh, then `make_mesh()` spans all global devices and the same
     NamedSharding-annotated programs run with ICI collectives intra-slice
     and DCN between hosts.
+
+    `cpu_collectives` selects XLA:CPU's cross-process collectives backend
+    (gloo) so the same code path runs multi-process on CPU — exercised
+    end-to-end by tests/test_distributed.py (two processes, global mesh,
+    one sharded optimizer step). Irrelevant to TPU backends; pass None to
+    leave the jax default.
     """
     import jax
 
+    if cpu_collectives is not None:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation",
+                              cpu_collectives)
+        except Exception:
+            pass  # older/newer jax without the knob: keep the default
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
