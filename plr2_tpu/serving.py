@@ -40,6 +40,11 @@ class FramePoses(NamedTuple):
     trans: jnp.ndarray       # (K, 3)
     confidence: jnp.ndarray  # (K,) best per-point confidence
     valid: jnp.ndarray       # (K,) bool: active slot with enough mask pixels
+    # (K,) bool: detection whose snapped window exceeds the compiled
+    # canvas — the one drop reason a bigger-canvas recompile fixes
+    # (tools/serve.py --auto_grow_canvas does exactly that); always
+    # implies not valid
+    oversized: jnp.ndarray
 
 
 class FrameEstimator:
@@ -126,8 +131,8 @@ class FrameEstimator:
         # construct the FrameEstimator with a larger `canvas` for such
         # scenes
         fits = (rmax - rmin <= c) & (cmax - cmin <= c)
-        valid = (obj_id > 0) & (npix >= self.min_mask_pixels) & fits
-        return sample, valid
+        detected = (obj_id > 0) & (npix >= self.min_mask_pixels)
+        return sample, detected & fits, detected & ~fits
 
     def _segment(self, seg_variables, colors):
         """(F, H, W, 3) uint8 -> (F, H, W) int32 labels on device.
@@ -157,7 +162,7 @@ class FrameEstimator:
 
     def _frame_samples(self, color, depth, label, obj_ids, model_points,
                        target_r, target_t, intr_vec, key):
-        """One frame -> K preprocessed samples + validity."""
+        """One frame -> K preprocessed samples + (valid, oversized)."""
         c = self.canvas
         color = jnp.pad(color, ((0, c), (0, c), (0, 0)))
         depth = jnp.pad(depth, ((0, c), (0, c)))
@@ -173,14 +178,15 @@ class FrameEstimator:
                  seg_variables=None):
         if self.seg_model is not None:
             label = self._segment(seg_variables, color[None])[0]
-        samples, valid = self._frame_samples(
+        samples, valid, oversized = self._frame_samples(
             color, depth, label, obj_ids, model_points, target_r, target_t,
             intr_vec, key)
         est = self.pipe.estimate(variables, samples.img, samples.points,
                                  samples.choose, samples.idx,
                                  refine_iterations=self.refine_iterations)
         return FramePoses(quat=est.quat, trans=est.trans,
-                          confidence=est.confidence, valid=valid), samples
+                          confidence=est.confidence, valid=valid,
+                          oversized=oversized), samples
 
     def _program_frames(self, variables, colors, depths, labels, obj_ids,
                         model_points, target_r, target_t, intr_vecs, keys,
@@ -191,7 +197,7 @@ class FrameEstimator:
         f, k = obj_ids.shape[:2]
         if self.seg_model is not None:
             labels = self._segment(seg_variables, colors)
-        samples, valid = jax.vmap(self._frame_samples)(
+        samples, valid, oversized = jax.vmap(self._frame_samples)(
             colors, depths, labels, obj_ids, model_points, target_r,
             target_t, intr_vecs, keys)
         flat = jax.tree_util.tree_map(
@@ -202,7 +208,8 @@ class FrameEstimator:
         poses = FramePoses(
             quat=est.quat.reshape(f, k, 4),
             trans=est.trans.reshape(f, k, 3),
-            confidence=est.confidence.reshape(f, k), valid=valid)
+            confidence=est.confidence.reshape(f, k), valid=valid,
+            oversized=oversized)
         return poses, samples
 
     # -- public surface --

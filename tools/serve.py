@@ -37,6 +37,12 @@ def main():
     p.add_argument("--iters", type=int, default=4,
                    help="refinement iterations")
     p.add_argument("--canvas", type=int, default=240)
+    p.add_argument("--auto_grow_canvas", action="store_true",
+                   help="single-frame mode: when a detection's snapped "
+                        "window exceeds the canvas, recompile at the next "
+                        "border-list bucket and re-serve the frame instead "
+                        "of dropping the object (one extra compile per "
+                        "growth)")
     p.add_argument("--seg_arch", type=str, default="",
                    choices=("", "segnet", "pspnet"),
                    help="segment on device instead of using label maps")
@@ -142,12 +148,16 @@ def main():
                         refine_iterations=args.iters,
                         seg_model=seg_model, seg_scale=args.seg_scale)
 
+    totals = {"dropped": 0, "oversized": 0}
+
     def emit(i, ms, oids, poses, slot0=0):
         objs = []
+        valid = np.asarray(poses.valid).reshape(-1, k)[slot0]
+        oversized = np.asarray(poses.oversized).reshape(-1, k)[slot0]
         for j in range(k):
             objs.append({
                 "obj": int(oids[j]),
-                "valid": bool(np.asarray(poses.valid).reshape(-1, k)[slot0, j]),
+                "valid": bool(valid[j]),
                 "quat": np.asarray(poses.quat, np.float32)
                         .reshape(-1, k, 4)[slot0, j].round(5).tolist(),
                 "trans": np.asarray(poses.trans, np.float32)
@@ -155,69 +165,107 @@ def main():
                 "conf": float(np.asarray(poses.confidence, np.float32)
                               .reshape(-1, k)[slot0, j]),
             })
-        print(json.dumps({"frame": i, "ms": round(ms, 2),
-                          "objects": objs}), flush=True)
+        dropped = int(((np.asarray(oids) > 0) & ~valid).sum())
+        over = int(oversized.sum())
+        totals["dropped"] += dropped
+        totals["oversized"] += over
+        line = {"frame": i, "ms": round(ms, 2), "objects": objs}
+        if dropped:
+            line["dropped"] = dropped
+        if over:
+            line["oversized"] = over
+        print(json.dumps(line), flush=True)
+
+    def next_canvas(c):
+        from plr2_tpu.data.bbox import BORDER_LIST
+        for b in BORDER_LIST:
+            if b > c:
+                return b
+        return c
+
+    def serve_one(fe_, i, color, depth, label, oids, mps, intr):
+        """Single-frame dispatch; with --auto_grow_canvas, recompile at
+        the next border-list bucket while any detection's window exceeds
+        the canvas (the host chain's auto-growing canvas, as a recipe)."""
+        t0 = time.perf_counter()
+        poses = fe_.run(variables, jnp.asarray(color), jnp.asarray(depth),
+                        jnp.asarray(label), jnp.asarray(oids),
+                        jnp.asarray(mps), jnp.asarray(intr),
+                        jax.random.key(i), seg_variables=seg_vars)
+        np.asarray(poses.quat)  # wall latency includes the fetch
+        while (args.auto_grow_canvas and bool(np.asarray(poses.oversized).any())
+               and next_canvas(fe_.canvas) <= min(fe_.img_h, fe_.img_w)):
+            grown = next_canvas(fe_.canvas)
+            print(f"oversized window at canvas {fe_.canvas}: recompiling "
+                  f"at {grown}", file=sys.stderr, flush=True)
+            fe_ = FrameEstimator(pipe, canvas=grown,
+                                 refine_iterations=args.iters,
+                                 seg_model=seg_model,
+                                 seg_scale=args.seg_scale)
+            poses = fe_.run(variables, jnp.asarray(color),
+                            jnp.asarray(depth), jnp.asarray(label),
+                            jnp.asarray(oids), jnp.asarray(mps),
+                            jnp.asarray(intr), jax.random.key(i),
+                            seg_variables=seg_vars)
+            np.asarray(poses.quat)
+        emit(i, (time.perf_counter() - t0) * 1e3, oids, poses)
+        return fe_
 
     # graceful drain: first SIGTERM/SIGINT finishes the in-flight frame
-    # (batch) and stops emitting cleanly; a second signal aborts
+    # (batch) and stops emitting cleanly; a second signal aborts. The
+    # with-block guarantees the handlers are uninstalled (and the drain
+    # message printed) even if a serving loop raises.
     from plr2_tpu.utils.interrupt import GracefulInterrupt
-    stop = GracefulInterrupt().__enter__()
-
     served = 0
-    if args.batch <= 1:
-        for color, depth, label, oids, mps, intr in frames():
-            if stop():
-                break
-            t0 = time.perf_counter()
-            poses = fe.run(variables, jnp.asarray(color),
-                           jnp.asarray(depth), jnp.asarray(label),
-                           jnp.asarray(oids), jnp.asarray(mps),
-                           jnp.asarray(intr), jax.random.key(served),
-                           seg_variables=seg_vars)
-            np.asarray(poses.quat)  # wall latency includes the fetch
-            emit(served, (time.perf_counter() - t0) * 1e3, oids, poses)
-            served += 1
-    else:
-        buf = []
-        for item in frames():
-            if stop():
-                buf = []
-                break
-            buf.append(item)
-            if len(buf) < args.batch:
-                continue
-            stacked = [jnp.asarray(np.stack(x)) for x in zip(*buf)]
-            keys = jax.random.split(jax.random.key(served), len(buf))
-            t0 = time.perf_counter()
-            poses = fe.run_frames(variables, *stacked, keys,
-                                  seg_variables=seg_vars)
-            np.asarray(poses.quat)
-            ms = (time.perf_counter() - t0) * 1e3 / len(buf)
-            for f in range(len(buf)):
-                emit(served + f, ms, np.asarray(stacked[3][f]), poses,
-                     slot0=f)
-            served += len(buf)
+    with GracefulInterrupt() as stop:
+        if args.batch <= 1:
+            for color, depth, label, oids, mps, intr in frames():
+                if stop():
+                    break
+                fe = serve_one(fe, served, color, depth, label, oids, mps,
+                               intr)
+                served += 1
+        else:
             buf = []
-        # tail short of a full batch: serve the leftovers one-by-one
-        # through the single-frame program (one extra compile) rather
-        # than dropping them
-        for color, depth, label, oids, mps, intr in buf:
-            if stop():
-                break
-            t0 = time.perf_counter()
-            poses = fe.run(variables, jnp.asarray(color),
-                           jnp.asarray(depth), jnp.asarray(label),
-                           jnp.asarray(oids), jnp.asarray(mps),
-                           jnp.asarray(intr), jax.random.key(served),
-                           seg_variables=seg_vars)
-            np.asarray(poses.quat)
-            emit(served, (time.perf_counter() - t0) * 1e3, oids, poses)
-            served += 1
-    stop.__exit__()
-    if stop():
-        print("interrupt requested: drained in-flight work and stopped",
-              file=sys.stderr)
-    print(f"served {served} frames", file=sys.stderr)
+            for item in frames():
+                if stop():
+                    buf = []
+                    break
+                buf.append(item)
+                if len(buf) < args.batch:
+                    continue
+                stacked = [jnp.asarray(np.stack(x)) for x in zip(*buf)]
+                keys = jax.random.split(jax.random.key(served), len(buf))
+                t0 = time.perf_counter()
+                poses = fe.run_frames(variables, *stacked, keys,
+                                      seg_variables=seg_vars)
+                np.asarray(poses.quat)
+                ms = (time.perf_counter() - t0) * 1e3 / len(buf)
+                for f in range(len(buf)):
+                    emit(served + f, ms, np.asarray(stacked[3][f]), poses,
+                         slot0=f)
+                served += len(buf)
+                buf = []
+            # tail short of a full batch: serve the leftovers one-by-one
+            # through the single-frame program (one extra compile) rather
+            # than dropping them
+            for color, depth, label, oids, mps, intr in buf:
+                if stop():
+                    break
+                fe = serve_one(fe, served, color, depth, label, oids, mps,
+                               intr)
+                served += 1
+        if stop():
+            print("interrupt requested: drained in-flight work and stopped",
+                  file=sys.stderr)
+        print(f"served {served} frames", file=sys.stderr)
+        if totals["dropped"]:
+            print(f"dropped {totals['dropped']} object slots "
+                  f"({totals['oversized']} oversized windows"
+                  + ("" if args.auto_grow_canvas else
+                     " — rerun with --auto_grow_canvas or a larger "
+                     "--canvas") + ")",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":
