@@ -47,11 +47,11 @@ class ModelConfig:
     num_points: int = 500
     num_objects: int = 13
     emb_dim: int = 32  # PSPNet per-pixel color embedding channels
-    # Loss-side Pallas: routes the ADD-S chamfer through the size-aware
-    # dispatcher (ops/knn.py) — the kernel fires for target clouds >1024
-    # points (e.g. the 2600-point refine-stage YCB meshes), where it
-    # measured faster than the chunked XLA path; XLA keeps smaller sizes.
-    use_pallas: bool = True
+    # NOTE: the former loss-side `use_pallas` knob was collapsed in round
+    # 3 — the ADD-S chamfer always takes the chunked XLA path, which
+    # re-measured faster than the Pallas kernels at EVERY target size
+    # after the round-2 XLA rewrites (ops/knn.py docstring has the
+    # numbers; pallas_knn.py keeps the kernels as the escape hatch).
     # Model-side Pallas (fused pose-head MLP + fused PSP upsample
     # kernels). Off by default: measured END-TO-END on v5e (batch 64,
     # bf16) the plain-XLA pipeline is faster (2154 f/s) than with the
@@ -138,7 +138,7 @@ def _preset_1() -> PipelineConfig:
     """LineMOD 'ape': PoseNet forward, batch 1, 500 points, CPU smoke."""
     return PipelineConfig(
         dataset=_LINEMOD,
-        model=ModelConfig(num_points=500, num_objects=13, use_pallas=False),
+        model=ModelConfig(num_points=500, num_objects=13),
         train=TrainConfig(batch_size=1),
         eval_refine_iterations=0,
     )

@@ -5,7 +5,7 @@ dataclass config tree, with preset inheritance.
 Schema:
     preset: ycb_refine          # optional base preset
     dataset: {num_points: 1000, root: /data/ycb}
-    model:   {use_pallas: true}
+    model:   {dtype: bfloat16}
     train:   {lr: 1.0e-4, nepoch: 500}
     eval_refine_iterations: 2
     data_parallel: 1

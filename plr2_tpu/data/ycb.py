@@ -103,7 +103,11 @@ class YCBDataset:
                 self.model_points_large[ci] = self._subsample(
                     pts, num_mesh_points_large, rng)
 
-        # flat index over (frame, object) — each object in a frame is a sample
+        # one item per FRAME: get_raw(i) picks ONE random visible object of
+        # frame i per visit, the upstream YCB dataset's sampling unit
+        # (datasets/ycb/dataset.py draws a random obj index per __getitem__
+        # [upstream, mount empty]) — unlike LineMOD's per-(frame, object)
+        # items
         self.items: List[Dict] = []
         for fp in self.frames:
             self.items.append({"frame": fp})

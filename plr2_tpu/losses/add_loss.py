@@ -57,14 +57,14 @@ def transform_hypotheses(pred_r, pred_t, points, model_points):
     return pred + t[:, :, None, :], rot, t
 
 
-def _adds_distance(pred_b, target_b, use_pallas):
+def _adds_distance(pred_b, target_b):
     """pred_b (N, M, 3), target_b (M, 3) -> (N,) symmetric distance."""
-    return jnp.mean(chamfer_min_distance(pred_b, target_b, use_pallas=use_pallas), axis=-1)
+    return jnp.mean(chamfer_min_distance(pred_b, target_b), axis=-1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w", "refine", "use_pallas", "sym_list",
+    static_argnames=("w", "refine", "sym_list",
                      "max_sym_slots"),
 )
 def pose_loss(
@@ -78,7 +78,6 @@ def pose_loss(
     w: float,
     refine: bool,
     sym_list: Tuple[int, ...],
-    use_pallas: bool = False,
     max_sym_slots: int | None = None,
 ) -> PoseLossOut:
     b, n, _ = pred_r.shape
@@ -103,7 +102,7 @@ def pose_loss(
 
         def adds_all(_):
             return jax.vmap(
-                lambda p, t: _adds_distance(p, t, use_pallas)
+                _adds_distance
             )(pred, target)  # (B, N)
 
         def mixed(_):
@@ -141,7 +140,7 @@ def pose_loss(
             pred_k, _, _ = transform_hypotheses(
                 gat(pred_r), gat(pred_t), gat(points), gat(model_points))
             adds_k = jax.vmap(
-                lambda p, t: _adds_distance(p, t, use_pallas)
+                _adds_distance
             )(pred_k, gat(target))  # (K, N)
             base = add_all(None)
             sym_k = gat(is_sym.astype(jnp.float32)[:, None])[:, 0]

@@ -29,7 +29,7 @@ class RefineLossOut(NamedTuple):
     new_target: jnp.ndarray  # (B, M, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("sym_list", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("sym_list",))
 def refine_loss(
     pred_r: jnp.ndarray,        # (B, 1, 4)
     pred_t: jnp.ndarray,        # (B, 1, 3)
@@ -38,7 +38,6 @@ def refine_loss(
     idx: jnp.ndarray,           # (B,)
     points: jnp.ndarray,        # (B, N, 3)
     sym_list: Tuple[int, ...],
-    use_pallas: bool = False,
 ) -> RefineLossOut:
     # metric math is ALWAYS f32 (see add_loss.py) — no-op for f32 callers
     pred_r, pred_t, target, model_points, points = (
@@ -58,7 +57,7 @@ def refine_loss(
         is_sym = jnp.any(idx[:, None] == sym_arr[None, :], axis=-1)
         dis_adds = jax.vmap(
             lambda p, tg: jnp.mean(
-                chamfer_min_distance(p[None], tg, use_pallas=use_pallas)[0]
+                chamfer_min_distance(p[None], tg)[0]
             )
         )(pred, target)
         dis = jnp.where(is_sym, dis_adds, dis_add)

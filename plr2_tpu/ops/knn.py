@@ -158,25 +158,25 @@ def nn_index(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(pairwise_sq_dist(pred, target), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def chamfer_min_distance(pred: jnp.ndarray, target: jnp.ndarray,
-                         use_pallas: bool = False) -> jnp.ndarray:
-    """Dispatcher: (H, M, 3), (M2, 3) -> (H, M) nearest-target distances.
+@jax.jit
+def chamfer_min_distance(pred: jnp.ndarray, target: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """(H, M, 3), (M2, 3) -> (H, M) nearest-target distances.
 
-    Measured on v5e (chained on-device loops, AFTER the round-2 XLA-path
-    rewrites — one-hot matched coords, custom VJP, "high"-precision
-    selection): the chunked XLA path now wins at EVERY measured target
-    size (2.1 vs 6.8 ms at M2=500, 9.7 vs 14.4 at 2048, 40 vs 47 at
-    8192; the round-1 Pallas wins at >1024 were against the pre-rewrite
-    XLA path with its jnp.take row gather). `use_pallas=True` therefore
-    keeps size-aware dispatch enabled but currently selects XLA
-    everywhere; the VMEM-resident kernels (pallas_knn.py — VPU difference
-    expansion at 6.6 ms, MXU augmented-product d2 at 8.3 ms vs XLA's
-    2.7 at production shape; the MXU pads K to 128 so a K=8 product
-    costs the same as K=128, and XLA is already near that single-pass
-    floor) remain the reference implementation and the escape hatch if
-    the d2 materialization ever exceeds HBM. All paths are exact and
-    share the gather-through-argmin gradient.
+    Always the chunked XLA path. A `use_pallas` routing knob existed
+    through round 2 but never changed the outcome: measured on v5e
+    (chained on-device loops, AFTER the round-2 XLA-path rewrites —
+    one-hot matched coords, custom VJP, "high"-precision selection) the
+    XLA path wins at EVERY target size (2.1 vs 6.8 ms at M2=500, 9.7 vs
+    14.4 at 2048, 40 vs 47 at 8192; the round-1 Pallas wins at >1024
+    were against the pre-rewrite XLA path with its jnp.take row gather),
+    so the knob was collapsed rather than left as lying API surface.
+    The VMEM-resident kernels (pallas_knn.py — VPU difference expansion
+    at 6.6 ms, MXU augmented-product d2 at 8.3 ms vs XLA's 2.7 at
+    production shape; the MXU pads K to 128 so a K=8 product costs the
+    same as K=128, and XLA is already near that single-pass floor)
+    remain the reference implementation and the escape hatch if the d2
+    materialization ever exceeds HBM — call them directly. All paths are
+    exact and share the gather-through-argmin gradient.
     """
-    del use_pallas  # dispatch decision is measurement-driven (see above)
     return nn_distance_xla(pred, target)

@@ -23,8 +23,8 @@ from plr2_tpu.pipeline import DenseFusionPipeline
 
 def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
                     w: float, lr: float, refine_iterations: int = 0,
-                    mesh=None, use_pallas: bool = False,
-                    remat: bool = False, sym_slots: int | None = None):
+                    mesh=None, remat: bool = False,
+                    sym_slots: int | None = None):
     """Returns (init_opt_state, train_step). train_step signature:
     (variables, opt_state, batch) -> (variables, opt_state, metrics).
 
@@ -62,7 +62,7 @@ def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
         out = pose_loss(pred_r, pred_t, pred_c, batch["target"],
                         batch["model_points"], batch["idx"], batch["points"],
                         w=w, refine=False, sym_list=sym_list,
-                        use_pallas=use_pallas, max_sym_slots=sym_slots)
+                        max_sym_slots=sym_slots)
         return out.loss, (mutated["batch_stats"], jnp.mean(out.dis))
 
     def _refiner_loss(refiner_params, pn_variables, batch):
@@ -73,8 +73,7 @@ def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
             batch["idx"])
         out = pose_loss(pred_r, pred_t, pred_c, batch["target"],
                         batch["model_points"], batch["idx"], batch["points"],
-                        w=w, refine=True, sym_list=sym_list,
-                        use_pallas=use_pallas)
+                        w=w, refine=True, sym_list=sym_list)
         loss = 0.0
         new_points, new_target = out.new_points, out.new_target
         for _ in range(refine_iterations):
@@ -82,8 +81,7 @@ def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
                 {"params": refiner_params}, new_points,
                 jax.lax.stop_gradient(emb), batch["idx"])
             ro = refine_loss(dr, dt, new_target, batch["model_points"],
-                             batch["idx"], new_points, sym_list=sym_list,
-                             use_pallas=use_pallas)
+                             batch["idx"], new_points, sym_list=sym_list)
             new_points, new_target = ro.new_points, ro.new_target
             loss = loss + jnp.mean(ro.dis)
         return loss, jnp.mean(ro.dis)

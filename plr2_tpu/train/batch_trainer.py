@@ -76,8 +76,7 @@ class BatchTrainer(Trainer):
                 self.pipe, sym_list=self.sym_list, w=state.w, lr=state.lr,
                 refine_iterations=(self.cfg.train.refine_iterations
                                    if state.refine_started else 0),
-                mesh=self.mesh, use_pallas=self.use_pallas,
-                sym_slots=self._sym_slots())
+                mesh=self.mesh, sym_slots=self._sym_slots())
         return self._steps[key]
 
     def _batches(self, dataset, key, seed: int):

@@ -49,8 +49,7 @@ from plr2_tpu.pipeline import DenseFusionPipeline
 
 def make_fused_window_grads(pipe: DenseFusionPipeline,
                             sym_list: Tuple[int, ...], w: float,
-                            refine_iterations: int = 0,
-                            use_pallas: bool = False):
+                            refine_iterations: int = 0):
     """The scan body of the fused window WITHOUT the optimizer update:
     `grads(variables, window, dropout_keys) -> (grads_sum, batch_stats,
     losses, dists)`. Exposed separately so tests can pin the accumulation
@@ -77,7 +76,7 @@ def make_fused_window_grads(pipe: DenseFusionPipeline,
                 out = pose_loss(pred_r, pred_t, pred_c, s["target"][None],
                                 s["model_points"][None], s["idx"][None],
                                 s["points"][None], w=w, refine=False,
-                                sym_list=sym_list, use_pallas=use_pallas)
+                                sym_list=sym_list)
                 return out.loss, (mutated["batch_stats"], jnp.mean(out.dis))
 
             (loss, (bs, dis)), grads = jax.value_and_grad(
@@ -103,7 +102,7 @@ def make_fused_window_grads(pipe: DenseFusionPipeline,
             first = pose_loss(pred_r, pred_t, pred_c, s["target"][None],
                               s["model_points"][None], s["idx"][None],
                               s["points"][None], w=w, refine=True,
-                              sym_list=sym_list, use_pallas=use_pallas)
+                              sym_list=sym_list)
 
             def loss_fn(rp):
                 def body(carry, _):
@@ -113,8 +112,7 @@ def make_fused_window_grads(pipe: DenseFusionPipeline,
                         jax.lax.stop_gradient(emb), s["idx"][None])
                     out = refine_loss(dr, dt, new_target,
                                       s["model_points"][None], s["idx"][None],
-                                      new_points, sym_list=sym_list,
-                                      use_pallas=use_pallas)
+                                      new_points, sym_list=sym_list)
                     return (out.new_points, out.new_target,
                             acc + jnp.mean(out.dis)), jnp.mean(out.dis)
 
@@ -136,8 +134,7 @@ def make_fused_window_grads(pipe: DenseFusionPipeline,
 
 def make_fused_accum_step(pipe: DenseFusionPipeline,
                           sym_list: Tuple[int, ...], w: float, lr: float,
-                          refine_iterations: int = 0,
-                          use_pallas: bool = False):
+                          refine_iterations: int = 0):
     """Returns a jitted `step(variables, opt_state, window, dropout_keys)
     -> (variables, opt_state, metrics)`.
 
@@ -156,7 +153,7 @@ def make_fused_accum_step(pipe: DenseFusionPipeline,
     tx = optax.adam(lr)
     refine_stage = refine_iterations > 0
     window_grads = make_fused_window_grads(
-        pipe, sym_list, w, refine_iterations, use_pallas)
+        pipe, sym_list, w, refine_iterations)
 
     def step(variables, opt_state, window, dropout_keys):
         grads_sum, bs, losses, dists = window_grads(

@@ -75,8 +75,7 @@ class FusedTrainer(Trainer):
             self._steps[k] = make_fused_accum_step(
                 self.pipe, sym_list=self.sym_list, w=state.w, lr=state.lr,
                 refine_iterations=(self.cfg.train.refine_iterations
-                                   if state.refine_started else 0),
-                use_pallas=self.use_pallas)
+                                   if state.refine_started else 0))
         return self._steps[k]
 
     def _stack_window(self, samples):

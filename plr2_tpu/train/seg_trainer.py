@@ -89,19 +89,31 @@ class SegTrainer:
         logits = self.model.apply(variables, x)
         return jnp.argmax(logits[:, :h, :w], axis=-1)
 
-    def train_epoch(self, state: Dict, frames, seed: int = 0) -> Dict:
+    def train_epoch(self, state: Dict, frames, seed: int = 0,
+                    stop_fn=None) -> Dict:
+        """One epoch over random crops. `stop_fn` is the graceful-
+        preemption hook (utils/interrupt.GracefulInterrupt), checked at
+        BATCH boundaries like the pose trainers — completed steps are
+        already in state, nothing partial to unwind."""
         rng = np.random.default_rng(seed)
         losses = []
         t0 = time.time()
         order = rng.permutation(len(frames))
         epoch_key = jax.random.key(seed)
+        interrupted = False
         for step, (img, labels) in enumerate(frame_crops(
                 [frames[i] for i in order], self.crop, self.batch, rng)):
+            if stop_fn is not None and stop_fn():
+                interrupted = True
+                break
             norm = (jnp.asarray(img, jnp.float32) / 255.0 - 0.5) / 0.5
             state["variables"], state["opt_state"], loss = self.train_step(
                 state["variables"], state["opt_state"], norm,
                 jnp.asarray(labels, jnp.int32),
                 jax.random.fold_in(epoch_key, step))
             losses.append(float(loss))
-        return {**state, "last_epoch_loss": float(np.mean(losses)),
-                "seconds": time.time() - t0}
+        return {**state,
+                "last_epoch_loss": (float(np.mean(losses)) if losses
+                                    else float("inf")),
+                "seconds": time.time() - t0,
+                "interrupted": interrupted}

@@ -71,11 +71,6 @@ class Trainer:
         # batch boundaries so a SIGTERM stops the epoch without applying a
         # partial optimizer step (utils/interrupt.py)
         self._stop_fn = None
-        # Routed to ops.chamfer_min_distance, whose dispatcher picks the
-        # Pallas ADD-S kernel only where it measures faster than the
-        # chunked XLA path (target clouds >1024 points; at the production
-        # mesh size of 500 XLA wins — see ops/knn.py docstring numbers).
-        self.use_pallas = bool(config.model.use_pallas)
 
     # ---------- state ----------
 
@@ -109,8 +104,7 @@ class Trainer:
                 rngs={"dropout": dropout_key})
             out = pose_loss(pred_r, pred_t, pred_c, target, model_points,
                             obj, cloud, w=w, refine=refine,
-                            sym_list=self.sym_list,
-                            use_pallas=self.use_pallas)
+                            sym_list=self.sym_list)
             return out.loss, (mutated["batch_stats"], out.dis)
 
         (loss, (bs, dis)), grads = jax.value_and_grad(
@@ -129,8 +123,7 @@ class Trainer:
             {"params": pn["params"], "batch_stats": pn["batch_stats"]},
             img, cloud, choose, obj)
         first = pose_loss(pred_r, pred_t, pred_c, target, model_points, obj,
-                          cloud, w=w, refine=True, sym_list=self.sym_list,
-                          use_pallas=self.use_pallas)
+                          cloud, w=w, refine=True, sym_list=self.sym_list)
 
         def loss_fn(refiner_params):
             def body(carry, _):
@@ -139,8 +132,7 @@ class Trainer:
                     {"params": refiner_params}, new_points,
                     jax.lax.stop_gradient(emb), obj)
                 out = refine_loss(dr, dt, new_target, model_points, obj,
-                                  new_points, sym_list=self.sym_list,
-                                  use_pallas=self.use_pallas)
+                                  new_points, sym_list=self.sym_list)
                 return (out.new_points, out.new_target,
                         acc + jnp.mean(out.dis)), jnp.mean(out.dis)
 
@@ -163,8 +155,7 @@ class Trainer:
         # the refine stage, symmetric objects are scored with ADD-S here
         out = pose_loss(pred_r, pred_t, pred_c, target, model_points, obj,
                         cloud, w=0.0, refine=refine_iterations > 0,
-                        sym_list=self.sym_list,
-                        use_pallas=self.use_pallas)
+                        sym_list=self.sym_list)
         if refine_iterations == 0:
             return out.dis
         new_points, new_target = out.new_points, out.new_target
@@ -173,8 +164,7 @@ class Trainer:
             dr, dt = self.pipe.refiner.apply(
                 variables["refiner"], new_points, emb, obj)
             ro = refine_loss(dr, dt, new_target, model_points, obj,
-                             new_points, sym_list=self.sym_list,
-                             use_pallas=self.use_pallas)
+                             new_points, sym_list=self.sym_list)
             new_points, new_target, dis = ro.new_points, ro.new_target, ro.dis
         return dis
 
@@ -211,6 +201,12 @@ class Trainer:
 
         grads_sum = None
         count = 0
+        # snapshot of batch_stats at the current window's start: on
+        # interrupt the partial window's grads are discarded, and so must
+        # its BN running-stat updates be — the abandoned samples replay on
+        # resume, and 'no partial work applied' should mean ALL work
+        # (round-2 advisor note on the rolled-back 'last' checkpoint)
+        bs_window_start = state.variables["posenet"]["batch_stats"]
         losses, dists = [], []
         interrupted = False
         t0 = time.time()
@@ -222,6 +218,9 @@ class Trainer:
                                        shuffle=True,
                                        seed=state.epoch * 997 + rep):
                 if self._stop_fn is not None and self._stop_fn():
+                    if count:
+                        state.variables["posenet"]["batch_stats"] = \
+                            bs_window_start
                     interrupted = True
                     break
                 args = (state.variables, s.img[None], s.points[None],
@@ -247,6 +246,7 @@ class Trainer:
                     state.variables[target_params]["params"] = optax.apply_updates(
                         params, updates)
                     grads_sum, count = None, 0
+                    bs_window_start = state.variables["posenet"]["batch_stats"]
         return state, {
             "train_loss": float(jnp.mean(jnp.asarray(losses))) if losses else 0.0,
             "train_dis": float(jnp.mean(jnp.asarray(dists))) if dists else 0.0,

@@ -40,7 +40,7 @@ def _tiny_config(**train_kw):
         dataset=DatasetConfig(name="synthetic", num_points=96, num_objects=4,
                               num_mesh_points=128, sym_list=(1,),
                               add_noise=True),
-        model=ModelConfig(num_points=96, num_objects=4, use_pallas=False),
+        model=ModelConfig(num_points=96, num_objects=4),
         train=TrainConfig(**train_kw),
     )
 
@@ -121,8 +121,7 @@ def test_fused_posenet_window_matches_per_sample_loop(tiny_ds):
 
     # --- fused window grads: tight pin on the accumulation semantics ---
     wg = jax.jit(make_fused_window_grads(
-        tr.pipe, sym_list=tr.sym_list, w=cfg.train.w, refine_iterations=0,
-        use_pallas=False))
+        tr.pipe, sym_list=tr.sym_list, w=cfg.train.w, refine_iterations=0))
     fg, fbs, flosses, fdists = wg(state.variables, window, dkeys)
     _assert_tree_close(fg, grads_sum, "grads_sum")
     _assert_tree_close(fbs, ref_vars["posenet"]["batch_stats"],
@@ -136,7 +135,7 @@ def test_fused_posenet_window_matches_per_sample_loop(tiny_ds):
     # documented Adam-eps bound (0.5*lr; benign max measured 0.09*lr) ---
     step = make_fused_accum_step(tr.pipe, sym_list=tr.sym_list,
                                  w=cfg.train.w, lr=LR,
-                                 refine_iterations=0, use_pallas=False)
+                                 refine_iterations=0)
     fus_opt = tx.init(state.variables["posenet"]["params"])
     fus_vars, fus_opt, m = step(state.variables, fus_opt, window, dkeys)
     _assert_tree_close(fus_opt, ref_opt, "opt_state")
@@ -177,7 +176,7 @@ def test_fused_refine_window_matches_per_sample_loop(tiny_ds):
 
     wg = jax.jit(make_fused_window_grads(
         tr.pipe, sym_list=tr.sym_list, w=cfg.train.w,
-        refine_iterations=iters, use_pallas=False))
+        refine_iterations=iters))
     fg, _, flosses, _ = wg(state.variables, window, dkeys)
     _assert_tree_close(fg, grads_sum, "refiner grads_sum")
     np.testing.assert_allclose(np.asarray(flosses, np.float64), ref_losses,
@@ -185,7 +184,7 @@ def test_fused_refine_window_matches_per_sample_loop(tiny_ds):
 
     step = make_fused_accum_step(tr.pipe, sym_list=tr.sym_list,
                                  w=cfg.train.w, lr=LR,
-                                 refine_iterations=iters, use_pallas=False)
+                                 refine_iterations=iters)
     fus_opt = tx.init(state.variables["refiner"]["params"])
     fus_vars, fus_opt, m = step(state.variables, fus_opt, window, dkeys)
     _assert_tree_close(fus_opt, ref_opt, "opt_state")

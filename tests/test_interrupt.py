@@ -27,7 +27,7 @@ def _tiny_config(**train_kw):
         dataset=DatasetConfig(name="synthetic", num_points=96, num_objects=4,
                               num_mesh_points=128, sym_list=(1,),
                               add_noise=True),
-        model=ModelConfig(num_points=96, num_objects=4, use_pallas=False),
+        model=ModelConfig(num_points=96, num_objects=4),
         train=TrainConfig(batch_size=2, refine_iterations=2, **train_kw),
     )
 
@@ -110,7 +110,7 @@ def test_batch_trainer_fit_stops_at_batch_boundary():
         dataset=DatasetConfig(name="synthetic", num_points=64, num_objects=2,
                               num_mesh_points=64, sym_list=(1,),
                               crop_size=48),
-        model=ModelConfig(num_points=64, num_objects=2, use_pallas=False),
+        model=ModelConfig(num_points=64, num_objects=2),
         train=TrainConfig(batch_size=2, nepoch=3),
     )
     ds = SyntheticPoseDataset(num_frames=2, num_objects=2, model_points=64,

@@ -175,7 +175,7 @@ def test_trainer_with_workers_smoke():
     cfg = PipelineConfig(
         dataset=DatasetConfig(name="synthetic", num_points=96, num_objects=2,
                               num_mesh_points=128, sym_list=(1,)),
-        model=ModelConfig(num_points=96, num_objects=2, use_pallas=False),
+        model=ModelConfig(num_points=96, num_objects=2),
         train=TrainConfig(batch_size=2, nepoch=1, workers=2))
     ds = SyntheticPoseDataset(num_frames=2, num_objects=2, model_points=128,
                               num_points=96, seed=2)

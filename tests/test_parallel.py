@@ -130,7 +130,7 @@ def test_batch_trainer_e2e_fit_on_mesh():
         dataset=DatasetConfig(name="synthetic", num_points=64, num_objects=2,
                               num_mesh_points=64, sym_list=(1,),
                               crop_size=48),
-        model=ModelConfig(num_points=64, num_objects=2, use_pallas=False),
+        model=ModelConfig(num_points=64, num_objects=2),
         train=TrainConfig(batch_size=16, nepoch=2),
         data_parallel=8)
     ds = SyntheticPoseDataset(num_frames=4, num_objects=2, model_points=64,
@@ -160,8 +160,7 @@ def test_batch_trainer_single_device_matches_mesh():
             dataset=DatasetConfig(name="synthetic", num_points=64,
                                   num_objects=2, num_mesh_points=64,
                                   sym_list=(1,), crop_size=48),
-            model=ModelConfig(num_points=64, num_objects=2,
-                              use_pallas=False),
+            model=ModelConfig(num_points=64, num_objects=2),
             train=TrainConfig(batch_size=8, nepoch=1),
             data_parallel=dp)
         ds = SyntheticPoseDataset(num_frames=2, num_objects=2,

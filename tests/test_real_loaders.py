@@ -199,7 +199,7 @@ def test_train_epoch_on_real_layout_linemod(linemod_root):
     cfg = PipelineConfig(
         dataset=DatasetConfig(name="linemod", num_points=96, num_objects=13,
                               num_mesh_points=128, sym_list=(7, 8)),
-        model=ModelConfig(num_points=96, num_objects=13, use_pallas=False),
+        model=ModelConfig(num_points=96, num_objects=13),
         train=TrainConfig(batch_size=1, nepoch=1))
     train_ds = LinemodDataset(linemod_root, "train", num_points=96,
                               num_mesh_points=128, objlist=[1])

@@ -24,7 +24,7 @@ def _tiny_config(**train_kw):
         dataset=DatasetConfig(name="synthetic", num_points=96, num_objects=4,
                               num_mesh_points=128, sym_list=(1,),
                               add_noise=True),
-        model=ModelConfig(num_points=96, num_objects=4, use_pallas=False),
+        model=ModelConfig(num_points=96, num_objects=4),
         train=TrainConfig(**train_kw),
     )
 

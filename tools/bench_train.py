@@ -59,8 +59,7 @@ def main():
         from plr2_tpu.train.fused_accum import make_fused_accum_step
         inner_step = make_fused_accum_step(
             pipe, sym_list=(0, 3), w=0.015, lr=1e-4,
-            refine_iterations=2 if refine else 0,
-            use_pallas=jax.default_backend() == "tpu")
+            refine_iterations=2 if refine else 0)
         target = "refiner" if refine else "posenet"
         opt_state = optax.adam(1e-4).init(variables[target]["params"])
 
@@ -70,8 +69,7 @@ def main():
     else:
         init_fn, step_ = make_train_step(
             pipe, sym_list=(0, 3), w=0.015, lr=1e-4,
-            refine_iterations=2 if refine else 0,
-            use_pallas=jax.default_backend() == "tpu", remat=remat,
+            refine_iterations=2 if refine else 0, remat=remat,
             sym_slots=sym_slots)
         opt_state = init_fn(variables)
 

@@ -58,8 +58,7 @@ def main():
     variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
     init_fn, step = make_train_step(
         pipe, sym_list=(), w=0.015, lr=args.lr,
-        refine_iterations=args.refine_iterations,
-        use_pallas=jax.default_backend() != "cpu")
+        refine_iterations=args.refine_iterations)
     opt_state = init_fn(variables)
 
     t0 = time.time()

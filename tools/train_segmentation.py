@@ -68,7 +68,17 @@ def main():
     from plr2_tpu.utils.interrupt import GracefulInterrupt
     with GracefulInterrupt() as stop:
         for epoch in range(1, args.nepoch + 1):
-            state = trainer.train_epoch(state, frames, seed=epoch)
+            # stop_fn checked at batch boundaries inside the epoch, like
+            # the pose trainers — a SIGTERM mid-epoch saves 'last' within
+            # one step's latency instead of waiting for the epoch end
+            state = trainer.train_epoch(state, frames, seed=epoch,
+                                        stop_fn=stop)
+            if state.get("interrupted"):
+                save_variables(os.path.join(args.save_path, "last.msgpack"),
+                               state["variables"])
+                logger.info(f"interrupt requested: stopped during epoch "
+                            f"{epoch} at a batch boundary ('last' saved)")
+                break
             logger.info(f"epoch {epoch}: loss={state['last_epoch_loss']:.5f} "
                         f"({state['seconds']:.1f}s)")
             save_variables(os.path.join(args.save_path, "last.msgpack"),

@@ -98,8 +98,7 @@ def main():
         init_fn, step = make_train_step(
             pipe, sym_list=(0, 1, 2, 3), w=stage["w"], lr=stage["lr"],
             refine_iterations=(cfg.train.refine_iterations
-                               if stage["refine"] else 0),
-            use_pallas=jax.default_backend() != "cpu")
+                               if stage["refine"] else 0))
         return init_fn, step
 
     init_fn, step = build_step()
