@@ -107,6 +107,14 @@ class TrainConfig:
     # symmetric-object fraction, 0 = off. Default auto: measured 66.6 vs
     # 125.0 ms/step (1.9x) on a 4-sym/32 YCB-shape stage-1 batch (v5e).
     sym_slots: int = -1
+    # Run the per-epoch test loop batched (one eval_dis dispatch per
+    # batch_size samples on a shared snapped canvas, cycle-padded tail)
+    # instead of one dispatch per sample. BatchTrainer always does this;
+    # the flag opts the per-sample Trainer / FusedTrainer test loops in —
+    # on the relay-latency TPU path the per-sample test loop otherwise
+    # dominates epoch wall-time. Spatial contract: crops share the
+    # snapped canvas (the batched modes' documented deviation).
+    batched_test: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

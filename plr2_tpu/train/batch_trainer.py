@@ -25,21 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from plr2_tpu.config import PipelineConfig
-from plr2_tpu.data.bbox import BORDER_LIST
-from plr2_tpu.data.loader import stack_samples
 from plr2_tpu.parallel.data_parallel import make_train_step
 from plr2_tpu.parallel.mesh import make_mesh, shard_batch
 from plr2_tpu.pipeline import DenseFusionPipeline
-from plr2_tpu.train.trainer import Trainer, TrainState
-
-
-def _snap_canvas(max_dim: int) -> int:
-    """Smallest border-list bucket holding every crop in the batch — keeps
-    the number of distinct compiled step shapes bounded."""
-    for b in BORDER_LIST:
-        if b >= max_dim:
-            return b
-    return max_dim
+from plr2_tpu.train.trainer import Trainer, TrainState, _snap_canvas
 
 
 class BatchTrainer(Trainer):
@@ -98,13 +87,7 @@ class BatchTrainer(Trainer):
             yield self._stack(pending)
 
     def _stack(self, samples):
-        canvas = _snap_canvas(max(
-            max(s.img.shape[0], s.img.shape[1]) for s in samples))
-        canvas = max(canvas, self.cfg.dataset.crop_size)
-        batch = stack_samples(samples, crop=canvas)
-        d = {"img": batch.img, "points": batch.points,
-             "choose": batch.choose, "target": batch.target,
-             "model_points": batch.model_points, "idx": batch.idx}
+        d = self._stack_eval(samples)
         return shard_batch(self.mesh, d) if self.mesh is not None else d
 
     def train_epoch(self, state: TrainState, dataset, key):
@@ -139,40 +122,13 @@ class BatchTrainer(Trainer):
         }
 
     def test_epoch(self, state: TrainState, dataset, key) -> float:
-        """Batched test loop: one eval_dis dispatch per `batch_size`
-        samples instead of the inherited one-dispatch-per-sample loop
-        (VERDICT round-2 weak #2 — on real datasets the per-sample test
-        loop dominated the batched mode's epoch wall-time). The tail batch
-        is cycle-padded to keep one compiled shape; only the real samples'
-        distances are scored. Same aggregation as Trainer.test_epoch
-        (mean of per-sample distances); crops share a snapped canvas, the
-        batched mode's documented spatial contract."""
-        refine_iters = (self.cfg.train.refine_iterations
-                        if state.refine_started else 0)
-        bsz = self.cfg.train.batch_size
-        dists: List[float] = []
-        pending: List = []
-
-        def flush():
-            if not pending:
-                return
-            n = len(pending)
-            filled = [pending[i % n] for i in range(bsz)]
-            d = self._stack(filled)
-            dis = self.eval_dis(
-                state.variables, d["img"], d["points"], d["choose"],
-                d["target"], d["model_points"], d["idx"],
-                refine_iterations=refine_iters)
-            dists.extend(float(x) for x in jnp.asarray(dis)[:n])
-            pending.clear()
-
-        for s in self._sample_iter(dataset, key, add_noise=False,
-                                   shuffle=False, seed=0):
-            pending.append(s)
-            if len(pending) == bsz:
-                flush()
-        flush()
-        return float(jnp.mean(jnp.asarray(dists))) if dists else float("inf")
+        """Always-batched test loop (VERDICT round-2 weak #2 — on real
+        datasets the per-sample test loop dominated the batched mode's
+        epoch wall-time), mesh-sharded when data_parallel > 1. Logic in
+        Trainer._test_epoch_batched; Trainer/FusedTrainer opt in via
+        TrainConfig.batched_test instead."""
+        return self._test_epoch_batched(state, dataset, key,
+                                        stack_fn=self._stack)
 
     def update_curriculum(self, state: TrainState, test_dis: float) -> TrainState:
         prev = (state.refine_started, state.lr, state.w)

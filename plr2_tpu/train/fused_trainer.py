@@ -33,9 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from plr2_tpu.config import PipelineConfig
-from plr2_tpu.data.loader import stack_samples
 from plr2_tpu.pipeline import DenseFusionPipeline
-from plr2_tpu.train.batch_trainer import _snap_canvas
 from plr2_tpu.train.fused_accum import make_fused_accum_step
 from plr2_tpu.train.trainer import Trainer, TrainState
 
@@ -79,13 +77,7 @@ class FusedTrainer(Trainer):
         return self._steps[k]
 
     def _stack_window(self, samples):
-        canvas = _snap_canvas(max(
-            max(s.img.shape[0], s.img.shape[1]) for s in samples))
-        canvas = max(canvas, self.cfg.dataset.crop_size)
-        b = stack_samples(samples, crop=canvas)
-        return {"img": b.img, "points": b.points, "choose": b.choose,
-                "target": b.target, "model_points": b.model_points,
-                "idx": b.idx}
+        return self._stack_eval(samples)
 
     def train_epoch(self, state: TrainState, dataset, key):
         cfg = self.cfg.train

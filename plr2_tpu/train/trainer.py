@@ -33,10 +33,20 @@ import jax.numpy as jnp
 import optax
 
 from plr2_tpu.config import PipelineConfig
-from plr2_tpu.data.loader import iterate_samples
+from plr2_tpu.data.bbox import BORDER_LIST
+from plr2_tpu.data.loader import iterate_samples, stack_samples
 from plr2_tpu.losses.add_loss import pose_loss
 from plr2_tpu.losses.refine_loss import refine_loss
 from plr2_tpu.pipeline import DenseFusionPipeline
+
+
+def _snap_canvas(max_dim: int) -> int:
+    """Smallest border-list bucket holding every crop in the batch — keeps
+    the number of distinct compiled step shapes bounded."""
+    for b in BORDER_LIST:
+        if b >= max_dim:
+            return b
+    return max_dim
 
 
 @dataclasses.dataclass
@@ -255,6 +265,8 @@ class Trainer:
         }
 
     def test_epoch(self, state: TrainState, dataset, key) -> float:
+        if self.cfg.train.batched_test:
+            return self._test_epoch_batched(state, dataset, key)
         dists = []
         refine_iters = (self.cfg.train.refine_iterations
                         if state.refine_started else 0)
@@ -265,6 +277,55 @@ class Trainer:
                 s.target[None], s.model_points[None], s.idx[None],
                 refine_iterations=refine_iters)
             dists.append(float(jnp.mean(dis)))
+        return float(jnp.mean(jnp.asarray(dists))) if dists else float("inf")
+
+    def _stack_eval(self, samples) -> Dict[str, Any]:
+        """Stack samples onto a shared border-list-snapped canvas (the
+        batched modes' spatial contract)."""
+        canvas = _snap_canvas(max(
+            max(s.img.shape[0], s.img.shape[1]) for s in samples))
+        canvas = max(canvas, self.cfg.dataset.crop_size)
+        b = stack_samples(samples, crop=canvas)
+        return {"img": b.img, "points": b.points, "choose": b.choose,
+                "target": b.target, "model_points": b.model_points,
+                "idx": b.idx}
+
+    def _test_epoch_batched(self, state: TrainState, dataset, key,
+                            stack_fn=None) -> float:
+        """Batched test loop: one eval_dis dispatch per `batch_size`
+        samples instead of one per sample (on the relay-latency TPU path
+        the per-sample loop otherwise dominates epoch wall-time). The tail
+        batch is cycle-padded to keep one compiled shape; only the real
+        samples' distances are scored. Same aggregation as the per-sample
+        loop (mean of per-sample distances); pinned equal on identical
+        stacked inputs by test. `stack_fn` lets BatchTrainer substitute
+        its mesh-sharded stacking."""
+        stack = stack_fn or self._stack_eval
+        refine_iters = (self.cfg.train.refine_iterations
+                        if state.refine_started else 0)
+        bsz = self.cfg.train.batch_size
+        dists = []
+        pending = []
+
+        def flush():
+            if not pending:
+                return
+            n = len(pending)
+            filled = [pending[i % n] for i in range(bsz)]
+            d = stack(filled)
+            dis = self.eval_dis(
+                state.variables, d["img"], d["points"], d["choose"],
+                d["target"], d["model_points"], d["idx"],
+                refine_iterations=refine_iters)
+            dists.extend(float(x) for x in jnp.asarray(dis)[:n])
+            pending.clear()
+
+        for s in self._sample_iter(dataset, key, add_noise=False,
+                                   shuffle=False, seed=0):
+            pending.append(s)
+            if len(pending) == bsz:
+                flush()
+        flush()
         return float(jnp.mean(jnp.asarray(dists))) if dists else float("inf")
 
     def update_curriculum(self, state: TrainState, test_dis: float) -> TrainState:

@@ -118,6 +118,44 @@ def test_batch_trainer_test_epoch_matches_per_sample_on_stacked(tiny_ds):
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
+def test_trainer_batched_test_flag_matches_per_sample_on_stacked(tiny_ds):
+    """TrainConfig.batched_test routes the plain Trainer's test loop
+    through the shared batched implementation (one dispatch per batch,
+    cycle-padded tail) and matches the per-sample eval_dis over the same
+    stacked canvases. batch_size=3 on 4 samples exercises the padded tail."""
+    cfg = _tiny_config(batch_size=3, batched_test=True)
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.key(0), crop_hw=80)
+    got = tr.test_epoch(state, tiny_ds, jax.random.key(2))
+
+    dists = []
+    pending = []
+
+    def flush():
+        if not pending:
+            return
+        n = len(pending)
+        filled = [pending[i % n] for i in range(cfg.train.batch_size)]
+        d = tr._stack_eval(filled)
+        for i in range(n):
+            dis = tr.eval_dis(
+                state.variables, d["img"][i:i + 1], d["points"][i:i + 1],
+                d["choose"][i:i + 1], d["target"][i:i + 1],
+                d["model_points"][i:i + 1], d["idx"][i:i + 1],
+                refine_iterations=0)
+            dists.append(float(jnp.mean(dis)))
+        pending.clear()
+
+    for s in tr._sample_iter(tiny_ds, jax.random.key(2), add_noise=False,
+                             shuffle=False, seed=0):
+        pending.append(s)
+        if len(pending) == cfg.train.batch_size:
+            flush()
+    flush()
+    assert len(dists) == len(tiny_ds)
+    np.testing.assert_allclose(got, float(np.mean(dists)), rtol=1e-4)
+
+
 def test_trainer_refine_stage_updates_refiner_only(tiny_ds):
     cfg = _tiny_config()
     tr = Trainer(cfg)

@@ -58,6 +58,11 @@ def parse_args():
                         "on-device program: exact per-sample semantics "
                         "(summed grads, sequential batch-1 BN) at batched "
                         "dispatch cost (train/fused_accum.py)")
+    p.add_argument("--batched_test", action="store_true",
+                   help="run the per-epoch test loop batched (one dispatch "
+                        "per batch_size samples on a shared snapped canvas) "
+                        "in the per-sample/--fused modes; --batched always "
+                        "does this")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard batches over this many devices "
                         "(jax.sharding Mesh data axis; implies --batched); "
@@ -116,7 +121,8 @@ def main():
             resume_posenet=args.resume_posenet,
             resume_refinenet=args.resume_refinenet,
             start_epoch=args.start_epoch, workers=args.workers,
-            sym_slots=args.sym_slots, fused_accum=args.fused))
+            sym_slots=args.sym_slots, fused_accum=args.fused,
+            batched_test=args.batched_test))
     else:
         args.nepoch = cfg.train.nepoch
     if args.num_points or args.mesh_points:

@@ -25,6 +25,11 @@ def main():
     p.add_argument("--num_points", type=int, default=500)
     p.add_argument("--train_frames", type=int, default=24)
     p.add_argument("--test_frames", type=int, default=6)
+    p.add_argument("--test_seed", type=int, default=31,
+                   help="seed of the held-out monitor/model-selection set; "
+                        "use a seed != 31 to keep the curriculum's "
+                        "checkpoint gating disjoint from the seed-31 set "
+                        "tools/eval_precision_modes.py scores")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--decay_margin", type=float, default=0.016)
     p.add_argument("--refine_margin", type=float, default=0.013)
@@ -57,7 +62,8 @@ def main():
     # held-out frames: different seeds -> novel box instances and poses
     test_ds = SyntheticPoseDataset(num_frames=args.test_frames,
                                    num_objects=2, model_points=256,
-                                   num_points=args.num_points, seed=31)
+                                   num_points=args.num_points,
+                                   seed=args.test_seed)
 
     pipe = DenseFusionPipeline(num_points=args.num_points,
                                num_objects=num_objects)
