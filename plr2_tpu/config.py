@@ -126,6 +126,12 @@ class PipelineConfig:
     eval_refine_iterations: int = 2
     # data-parallel batch sharding axis size hint (1 = single chip)
     data_parallel: int = 1
+    # tensor-parallel `model` mesh axis size (1 = off). With N > 1 the
+    # batched trainer lays devices out as a (data_parallel, N) 2-D mesh
+    # and shards the fusion-trunk/head matmul ladders Megatron-style
+    # (parallel/tensor_parallel.py). Requires the default XLA head path
+    # (incompatible with use_pallas_model).
+    model_parallel: int = 1
 
 
 # YCB-Video symmetric objects (upstream datasets/ycb/dataset.py):

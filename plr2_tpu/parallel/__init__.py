@@ -9,3 +9,9 @@ from plr2_tpu.parallel.data_parallel import (  # noqa: F401
     make_train_step,
     make_inference_step,
 )
+from plr2_tpu.parallel.tensor_parallel import (  # noqa: F401
+    tp_spec,
+    tp_shardings,
+    shard_variables,
+    sharded_param_count,
+)

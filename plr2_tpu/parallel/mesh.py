@@ -4,9 +4,10 @@ The reference is single-GPU (SURVEY.md section 2, parallelism table); its
 only parallelism is CPU DataLoader workers. The TPU build scales via SPMD:
 a `jax.sharding.Mesh` with a `data` axis, batch-sharded inputs, replicated
 parameters, and XLA-inserted all-reduces over ICI for the gradient sum.
-Tensor/pipeline axes are unnecessary at this model size (<30 M params) but
-the mesh helper accepts extra axes so the same code scales shapes if ever
-needed.
+A second `model` axis adds Megatron-style tensor parallelism over the
+fusion-trunk/head matmul ladders (parallel/tensor_parallel.py,
+`tools/train.py --model_parallel N`); pipeline axes stay unnecessary at
+this model size (<30 M params).
 """
 
 from __future__ import annotations
@@ -53,17 +54,29 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names: Sequence[str] = ("data",)) -> Mesh:
-    """1-D (or reshaped) mesh over the first `n_devices` devices."""
+              axis_names: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """1-D (or reshaped) mesh over the first `n_devices` devices.
+
+    With `shape`, lays the devices out as a multi-axis mesh — e.g.
+    ``make_mesh(8, ("data", "model"), shape=(2, 4))`` for 2-way data x
+    4-way tensor parallelism (see parallel/tensor_parallel.py). Adjacent
+    device ids land on the trailing (`model`) axis so the per-layer
+    all-reduces ride the shortest ICI hops.
+    """
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = np.asarray(devs[:n])
-    if len(axis_names) == 1:
+    if shape is not None:
+        if len(shape) != len(axis_names) or int(np.prod(shape)) != n:
+            raise ValueError(f"mesh shape {shape} does not lay out "
+                             f"{n} devices over axes {axis_names}")
+    elif len(axis_names) == 1:
         shape = (n,)
     else:
         # fold all devices into the leading axis by default
         shape = (n,) + (1,) * (len(axis_names) - 1)
-    return Mesh(devs.reshape(shape), axis_names)
+    return Mesh(devs.reshape(tuple(shape)), axis_names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

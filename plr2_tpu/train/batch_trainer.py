@@ -6,6 +6,10 @@ trainer is the scaling counterpart: fixed-canvas batches, one XLA program
 per optimizer step (parallel/data_parallel.make_train_step), and — with
 `config.data_parallel > 1` — a `jax.sharding.Mesh` data axis: inputs
 batch-sharded, parameters replicated, gradient mean all-reduced over ICI.
+With `config.model_parallel > 1` the mesh gains a `model` axis and the
+fusion-trunk/head matmul ladders shard Megatron-style across it
+(parallel/tensor_parallel.py) — weights are committed to the mesh via
+device_put and plain jit + GSPMD inserts the collectives.
 
 Semantics deltas vs the per-sample Trainer (both deliberate):
   * the loss/grad is the batch MEAN per step (reference accumulation SUMS
@@ -37,12 +41,24 @@ class BatchTrainer(Trainer):
     def __init__(self, config: PipelineConfig,
                  pipe: Optional[DenseFusionPipeline] = None):
         super().__init__(config, pipe)
-        n = config.data_parallel
-        self.mesh = make_mesh(n) if n > 1 else None
-        if self.mesh is not None and config.train.batch_size % n:
+        dp = max(config.data_parallel, 1)
+        mp = max(getattr(config, "model_parallel", 1), 1)
+        if mp > 1 and config.model.use_pallas_model:
+            raise ValueError("model_parallel requires the XLA head path "
+                             "(use_pallas_model=False) — the fused Pallas "
+                             "head consumes unsharded kernels")
+        self._tp = mp > 1
+        if self._tp:
+            # 2-D (data, model) mesh: batch over `data`, the fusion/head
+            # matmul ladders column/row-sharded over `model`
+            # (parallel/tensor_parallel.py)
+            self.mesh = make_mesh(dp * mp, ("data", "model"), shape=(dp, mp))
+        else:
+            self.mesh = make_mesh(dp) if dp > 1 else None
+        if self.mesh is not None and config.train.batch_size % dp:
             raise ValueError(
                 f"batch_size {config.train.batch_size} not divisible by "
-                f"data_parallel {n}")
+                f"data_parallel {dp}")
         # one compiled step per (stage, lr, w) curriculum point
         self._steps: Dict[Tuple, Tuple] = {}
 
@@ -65,8 +81,29 @@ class BatchTrainer(Trainer):
                 self.pipe, sym_list=self.sym_list, w=state.w, lr=state.lr,
                 refine_iterations=(self.cfg.train.refine_iterations
                                    if state.refine_started else 0),
-                mesh=self.mesh, sym_slots=self._sym_slots())
+                # tensor-parallel mode uses committed-input shardings
+                # (weights device_put with tensor_parallel.tp_shardings,
+                # honored by plain jit) instead of in_shardings pytrees
+                mesh=None if self._tp else self.mesh,
+                sym_slots=self._sym_slots())
         return self._steps[key]
+
+    def init_state(self, key, crop_hw: int = 160) -> TrainState:
+        state = super().init_state(key, crop_hw)
+        return self._reshard(state) if self._tp else state
+
+    def _reshard(self, state: TrainState) -> TrainState:
+        """Commit the weights to their tensor-parallel mesh placement.
+
+        A no-op for arrays already laid out (device_put returns the same
+        array), so calling it at epoch start also re-commits variables
+        that arrived as host arrays from a checkpoint restore. The fresh
+        opt_state re-init that follows (zeros_like) inherits the param
+        shardings; a RESTORED opt_state starts replicated and GSPMD
+        reshards it on the first step."""
+        from plr2_tpu.parallel.tensor_parallel import shard_variables
+        state.variables = shard_variables(self.mesh, state.variables)
+        return state
 
     def _batches(self, dataset, key, seed: int):
         """Yield stacked fixed-canvas batches; the tail batch is padded by
@@ -93,6 +130,8 @@ class BatchTrainer(Trainer):
     def train_epoch(self, state: TrainState, dataset, key):
         # opt_state from Trainer.init_state / update_curriculum targets the
         # same params with the same optax.adam structure — reused as-is
+        if self._tp:
+            state = self._reshard(state)  # no-op unless restored from host
         _, step = self._get_step(state)
         losses, dists = [], []
         interrupted = False

@@ -67,6 +67,12 @@ def parse_args():
                    help="shard batches over this many devices "
                         "(jax.sharding Mesh data axis; implies --batched); "
                         "0 = use the config value")
+    p.add_argument("--model_parallel", type=int, default=0,
+                   help="tensor-parallel `model` mesh axis size: shard the "
+                        "fusion-trunk/head matmul ladders Megatron-style "
+                        "over a (data_parallel, N) 2-D mesh (implies "
+                        "--batched; parallel/tensor_parallel.py); 0 = use "
+                        "the config value")
     p.add_argument("--sym_slots", type=int, default=0,
                    help="batched mode: chamfer at most this many symmetric "
                         "samples per mixed batch via static compaction "
@@ -168,10 +174,13 @@ def main():
 
     if args.data_parallel:
         cfg = dataclasses.replace(cfg, data_parallel=args.data_parallel)
+    if args.model_parallel:
+        cfg = dataclasses.replace(cfg, model_parallel=args.model_parallel)
 
     logger = setup_logger(
         "train", os.path.join(args.log_dir, f"train_{args.dataset}.log"))
-    batched = args.batched or args.data_parallel or cfg.data_parallel > 1
+    batched = (args.batched or args.data_parallel or cfg.data_parallel > 1
+               or cfg.model_parallel > 1)
     fused = args.fused or cfg.train.fused_accum
     if batched and fused:
         raise SystemExit("--fused is the exact-semantics mode; --batched/"
@@ -180,7 +189,8 @@ def main():
     if batched:
         from plr2_tpu.train import BatchTrainer
         trainer = BatchTrainer(cfg)
-        logger.info(f"batched mode (data_parallel={cfg.data_parallel})")
+        logger.info(f"batched mode (data_parallel={cfg.data_parallel}, "
+                    f"model_parallel={cfg.model_parallel})")
     elif fused:
         from plr2_tpu.train import FusedTrainer
         trainer = FusedTrainer(cfg)
