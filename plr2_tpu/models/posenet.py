@@ -29,13 +29,28 @@ Dimension ladder (identical to the reference so weights are transplantable):
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from plr2_tpu.models.pspnet import PSPNet
+
+
+def _global_point_mean(y: jnp.ndarray, points_axis: Optional[str],
+                       keepdims: bool) -> jnp.ndarray:
+    """Mean over the point axis (dim 1), optionally across a mesh axis.
+
+    With `points_axis`, the (B, N_local, C) input is one shard of the point
+    dimension inside a `shard_map` over that mesh axis: the global mean is
+    the pmean of equal-sized local means — the sequence-parallel form of
+    the reference's AvgPool1d(num_points) global feature (one tiny ICI
+    all-reduce per pool). See parallel/point_parallel.py."""
+    local = jnp.mean(y, axis=1, keepdims=keepdims)
+    if points_axis is not None:
+        local = jax.lax.pmean(local, points_axis)
+    return local
 
 
 def gather_emb(emb_map: jnp.ndarray, choose: jnp.ndarray) -> jnp.ndarray:
@@ -57,6 +72,7 @@ class PoseNetFeat(nn.Module):
     """
 
     dtype: Any = jnp.float32
+    points_axis: Optional[str] = None  # mesh axis for sequence parallelism
 
     @nn.compact
     def __call__(self, cloud: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
@@ -71,7 +87,8 @@ class PoseNetFeat(nn.Module):
 
         y = nn.relu(d(512, "conv5")(feat_2))
         y = nn.relu(d(1024, "conv6")(y))
-        glob = jnp.mean(y, axis=1, keepdims=True)  # AvgPool1d(num_points)
+        # AvgPool1d(num_points); pmean across point shards under SP
+        glob = _global_point_mean(y, self.points_axis, keepdims=True)
         glob = jnp.broadcast_to(glob, (y.shape[0], y.shape[1], 1024))
         return jnp.concatenate([feat_1, feat_2, glob], axis=-1)  # (B, N, 1408)
 
@@ -102,18 +119,25 @@ class PoseNet(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused Pallas head kernels (interpret off-TPU)
     phase_upsample: bool = False  # phase-decomposed PSP upsample stages
+    points_axis: Optional[str] = None  # mesh axis for sequence parallelism
 
     @nn.compact
     def __call__(self, img, cloud, choose, obj, *, train: bool = False):
         """img: (B, H, W, 3) normalized crop; cloud: (B, N, 3);
-        choose: (B, N) int32; obj: (B,) int32 object index."""
+        choose: (B, N) int32; obj: (B,) int32 object index.
+
+        With `points_axis` set, cloud/choose hold one shard of the point
+        dimension (inside shard_map over that mesh axis); img stays
+        replicated and the CNN runs whole per device — only the global
+        pool crosses shards. Everything else is per-point."""
         # gather-before-final-conv: exact commute (1x1 conv + per-pixel
         # log_softmax), skips the full-res 32ch map + softmax
         emb = PSPNet(emb_dim=self.emb_dim, dtype=self.dtype,
                      use_pallas=self.use_pallas,
                      phase_upsample=self.phase_upsample,
                      name="cnn")(img, train=train, choose=choose)  # (B, N, 32)
-        feat = PoseNetFeat(dtype=self.dtype, name="feat")(cloud, emb)
+        feat = PoseNetFeat(dtype=self.dtype, points_axis=self.points_axis,
+                           name="feat")(cloud, emb)
 
         def head_pallas(out_dim: int, tag: str) -> jnp.ndarray:
             from plr2_tpu.ops.pallas_fusion import fused_mlp_head
@@ -190,6 +214,7 @@ class PoseRefineNetFeat(nn.Module):
     """Refiner trunk: two-scale concat (384) -> 512 -> 1024 -> global pool."""
 
     dtype: Any = jnp.float32
+    points_axis: Optional[str] = None  # mesh axis for sequence parallelism
 
     @nn.compact
     def __call__(self, cloud: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
@@ -205,7 +230,7 @@ class PoseRefineNetFeat(nn.Module):
         y = jnp.concatenate([feat_1, feat_2], axis=-1)  # 384
         y = nn.relu(d(512, "conv5")(y))
         y = nn.relu(d(1024, "conv6")(y))
-        return jnp.mean(y, axis=1)  # (B, 1024)
+        return _global_point_mean(y, self.points_axis, keepdims=False)
 
 
 class PoseRefineNet(nn.Module):
@@ -214,10 +239,13 @@ class PoseRefineNet(nn.Module):
     num_points: int
     num_objects: int
     dtype: Any = jnp.float32
+    points_axis: Optional[str] = None  # mesh axis for sequence parallelism
 
     @nn.compact
     def __call__(self, cloud, emb, obj):
-        feat = PoseRefineNetFeat(dtype=self.dtype, name="feat")(cloud, emb)
+        feat = PoseRefineNetFeat(dtype=self.dtype,
+                                 points_axis=self.points_axis,
+                                 name="feat")(cloud, emb)
 
         def head(out_dim: int, tag: str) -> jnp.ndarray:
             h = feat

@@ -15,3 +15,11 @@ from plr2_tpu.parallel.tensor_parallel import (  # noqa: F401
     shard_variables,
     sharded_param_count,
 )
+from plr2_tpu.parallel.point_parallel import (  # noqa: F401
+    sp_chamfer,
+    make_sp_inference_step,
+)
+from plr2_tpu.parallel.pipeline_parallel import (  # noqa: F401
+    make_pp_refine,
+    make_pp_estimate_step,
+)

@@ -6,8 +6,13 @@ a `jax.sharding.Mesh` with a `data` axis, batch-sharded inputs, replicated
 parameters, and XLA-inserted all-reduces over ICI for the gradient sum.
 A second `model` axis adds Megatron-style tensor parallelism over the
 fusion-trunk/head matmul ladders (parallel/tensor_parallel.py,
-`tools/train.py --model_parallel N`); pipeline axes stay unnecessary at
-this model size (<30 M params).
+`tools/train.py --model_parallel N`). A `points` axis shards the point
+dimension — sequence parallelism for the chamfer match and the per-point
+trunk (parallel/point_parallel.py) — and a `pipe` axis streams frame
+microbatches through a ring of refinement stages
+(parallel/pipeline_parallel.py). Expert parallelism has no substrate:
+the model has no MoE layers (the per-object head weight banks are the
+closest analogue at ~11 KB per head — far too small to shard).
 """
 
 from __future__ import annotations

@@ -1,0 +1,127 @@
+"""Pipeline parallelism over the refinement iterations (`pipe` mesh axis).
+
+The serving chain's only sequential dependency is the iterative refiner:
+iteration i+1 consumes iteration i's pose (refine/iterative.py — on one
+device a lax.scan). With K chips on a `pipe` axis, stage d runs refinement
+iteration d: frame microbatches stream through the ring, each chip doing
+one PoseRefineNet apply per tick and handing the composed (q, t) pose to
+its neighbour over ICI (`ppermute`). The stages are homogeneous (same
+weights, same computation), so — unlike a layer-split pipeline of a
+heterogeneous network — no chip ever computes a stage it throws away;
+the only overhead is the (K-1)-tick fill/drain bubble. Steady-state
+throughput is K times one chip's, at one-iteration latency per chip.
+
+The reference runs these iterations in host Python on one GPU (upstream
+tools/eval_ycb.py refine loop [upstream, mount empty]); the in-repo
+single-chip counterpart is `refine.iterative.iterative_refine`.
+tests/test_pipeline_parallel.py pins equality against it on a CPU mesh.
+
+Design notes:
+* The read-only per-microbatch context (cloud, emb, obj, q0, t0) is
+  replicated; each stage dynamic-slices the microbatch currently at its
+  position (tick t, stage d -> microbatch t-d). Only the pose travels the
+  ring. Streaming the context too would save the K-way replication at the
+  cost of a (mb, N, 35)-sized ppermute per tick — at the reference's
+  N=500/1000 the context is small enough that replication is the better
+  trade; revisit if clouds ever outgrow HBM/K.
+* Stage count = mesh axis size = refine_iterations. The last stage
+  accumulates finished poses locally; one psum at the end replicates them
+  (all other stages contribute zeros).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plr2_tpu.geometry.pointcloud import compose_pose, recenter_points
+from plr2_tpu.geometry.quaternion import normalize_quaternion
+
+
+def make_pp_refine(refiner, mesh: Mesh, num_micro: int, axis: str = "pipe"):
+    """Pipelined refinement: refine_iterations == mesh.shape[axis] stages.
+
+    Returns fn(refiner_variables, cloud, emb, obj, q0, t0) -> (q, t) over
+    stacked microbatches — cloud (num_micro, mb, N, 3), emb (num_micro,
+    mb, N, E), obj (num_micro, mb), q0 (num_micro, mb, 4), t0 (num_micro,
+    mb, 3) — returning (num_micro, mb, 4/3) final poses.
+    """
+    nstages = mesh.shape[axis]
+
+    def pp_fn(rvars, clouds, embs, objs, q0s, t0s):
+        d = jax.lax.axis_index(axis)
+        mb = clouds.shape[1]
+        take = lambda arr, i: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            arr, i, 0, keepdims=False)
+
+        def tick(carry, t):
+            q_in, t_in, qbuf, tbuf = carry
+            m = t - d  # microbatch at this stage this tick
+            valid = jnp.logical_and(m >= 0, m < num_micro)
+            mc = jnp.clip(m, 0, num_micro - 1)
+            cloud, emb, obj = take(clouds, mc), take(embs, mc), take(objs, mc)
+            # stage 0 injects the fresh initial pose; later stages take
+            # the streamed pose from their ring predecessor
+            first = d == 0
+            q_cur = jnp.where(first, take(q0s, mc), q_in)
+            t_cur = jnp.where(first, take(t0s, mc), t_in)
+            # identical arithmetic to refine.iterative.iterative_refine
+            new_cloud = recenter_points(cloud, q_cur, t_cur)
+            dq, dt = refiner.apply(rvars, new_cloud, emb, obj)
+            dq = normalize_quaternion(dq[:, 0, :])
+            q2, t2 = compose_pose(q_cur, t_cur, dq, dt[:, 0, :])
+            perm = [(i, i + 1) for i in range(nstages - 1)]
+            q_out = jax.lax.ppermute(q2, axis, perm)
+            t_out = jax.lax.ppermute(t2, axis, perm)
+            done = jnp.logical_and(d == nstages - 1, valid)
+            qbuf = jnp.where(done, qbuf.at[mc].set(q2), qbuf)
+            tbuf = jnp.where(done, tbuf.at[mc].set(t2), tbuf)
+            return (q_out, t_out, qbuf, tbuf), None
+
+        # initial carries are rewritten device-varyingly on every tick —
+        # mark them varying up front so the scan carry type is stable
+        init = jax.lax.pcast(
+            (jnp.zeros((mb, 4)), jnp.zeros((mb, 3)),
+             jnp.zeros((num_micro, mb, 4)), jnp.zeros((num_micro, mb, 3))),
+            (axis,), to="varying")
+        ticks = jnp.arange(num_micro + nstages - 1)
+        (_, _, qbuf, tbuf), _ = jax.lax.scan(tick, init, ticks)
+        # only the last stage wrote finished poses; psum replicates them
+        return jax.lax.psum(qbuf, axis), jax.lax.psum(tbuf, axis)
+
+    return jax.shard_map(pp_fn, mesh=mesh,
+                         in_specs=(P(),) * 6, out_specs=(P(), P()))
+
+
+def make_pp_estimate_step(pipe, mesh: Mesh, num_micro: int,
+                          axis: str = "pipe"):
+    """Full pose estimation with pipelined refinement.
+
+    Returns step(variables, img, cloud, choose, obj) -> PoseEstimate with
+    `pipe.estimate(..., refine_iterations=mesh.shape[axis])` semantics.
+    The PoseNet forward runs batch-sharded over the SAME chips (the pipe
+    axis doubles as a data axis for the non-sequential part — every chip
+    is busy in both phases), then the batch is split into `num_micro`
+    microbatches that stream through the refinement ring. The batch size
+    must divide by num_micro.
+    """
+    from plr2_tpu.pipeline import PoseEstimate
+    from plr2_tpu.refine.iterative import initial_pose
+
+    refine = make_pp_refine(pipe.refiner, mesh, num_micro, axis)
+
+    def step(variables, img, cloud, choose, obj):
+        pred_r, pred_t, pred_c, emb = pipe.posenet.apply(
+            variables["posenet"], img, cloud, choose, obj)
+        q0, t0 = initial_pose(pred_r, pred_t, pred_c, cloud)
+        split = lambda x: x.reshape((num_micro, -1) + x.shape[1:])  # noqa: E731
+        q, t = refine(variables["refiner"], split(cloud), split(emb),
+                      split(obj), split(q0), split(t0))
+        merge = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+        return PoseEstimate(quat=merge(q), trans=merge(t),
+                            confidence=jnp.max(pred_c[..., 0], axis=-1))
+
+    data = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(step, in_shardings=(repl, data, data, data, data))

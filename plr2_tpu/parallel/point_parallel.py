@@ -1,0 +1,160 @@
+"""Point-axis (sequence) parallelism over a `points` mesh axis.
+
+The model's "sequence" is the sampled point cloud (SURVEY.md section 2,
+parallelism table): there is no attention, per-point compute is pointwise
+1x1-conv matmuls, and the only cross-point operations are the global
+mean-pool in the fusion trunks and the O(N*M*M2) ADD-S chamfer match.
+Both shard cleanly over a mesh axis:
+
+* `sp_chamfer` shards the TARGET cloud: each device computes the argmin
+  match against its contiguous block of target points, then a pmin of
+  the per-query min distances + a psum of the winning shard's matched
+  coordinates selects the global nearest neighbour (two tiny invariant
+  collectives, no gather). The matched coordinates come out bitwise
+  equal to `ops.knn.chamfer_min_distance`'s (first-win argmin over
+  contiguous blocks reproduces the global first-argmin tie-break), with
+  the same gather-through-argmin gradient; the final norm agrees to one
+  float32 ulp (program-fusion-dependent FMA rounding — measured
+  bitwise-equal matched coords, <=1-ulp distances on the 8-device CPU
+  mesh). This is the scale-out path when target meshes outgrow one
+  chip's HBM or compute (the dense d2 matrix is H*M x M2).
+
+* `make_sp_inference_step` shards the SAMPLED cloud (and `choose`): the
+  per-point trunk, heads, and refinement run on 1/K of the points per
+  device; the global pools become pmeans (`models.posenet.
+  _global_point_mean`) and the best-confidence hypothesis selection is a
+  cross-shard argmax. The crop image and CNN stay replicated — the CNN
+  has no point axis. This is the sequence-parallel recipe if the point
+  count is ever scaled far past the reference's 500/1000.
+
+The reference has no counterpart (single-GPU; upstream lib/loss.py
+computes the chamfer dense on one device [upstream, mount empty]).
+tests/test_point_parallel.py pins exactness/equality on an 8-device CPU
+mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from plr2_tpu.ops.knn import safe_norm
+
+
+def _pad_wrap(target: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Pad the target cloud to a multiple of k by repeating its first row.
+
+    Duplicates cannot change any min distance, and because the copies sit
+    at the highest global indices the first-argmin tie-break still selects
+    the original row — matched coordinates stay bitwise identical."""
+    pad = (-target.shape[0]) % k
+    if pad == 0:
+        return target
+    return jnp.concatenate(
+        [target, jnp.broadcast_to(target[:1], (pad,) + target.shape[1:])], 0)
+
+
+def sp_chamfer(mesh: Mesh, pred: jnp.ndarray, target: jnp.ndarray,
+               axis: str = "points") -> jnp.ndarray:
+    """(H, M, 3), (M2, 3) -> (H, M) nearest-target distances, with the
+    target cloud sharded over `axis`.
+
+    Same value and gradient as `ops.knn.chamfer_min_distance` (to one
+    float32 ulp — see module docstring): the distance is the norm of the
+    difference to the matched coordinates (held constant through the
+    argmin, `safe_norm` zero-at-zero convention)."""
+    k = mesh.shape[axis]
+    h, m, _ = pred.shape
+    target = _pad_wrap(target, k)
+
+    def match(pred_in, t_shard):
+        # pred_in: (H, M, 3) replicated; t_shard: (M2/K, 3) this shard.
+        # Coordinate-major throughout (the (., 3) row-major layout puts 3
+        # elements on the 128-lane axis — see ops/knn.py `_nn_matched_cm`).
+        p_cm = jnp.moveaxis(pred_in, -1, 0).reshape(3, h * m)
+        t_cm = t_shard.T.astype(jnp.float32)                  # (3, m2k)
+        a2 = jnp.sum(p_cm * p_cm, axis=0)                     # (P,)
+        b2 = jnp.sum(t_cm * t_cm, axis=0)                     # (m2k,)
+        ab = jnp.einsum("cp,cm->pm", p_cm, t_cm,
+                        precision=jax.lax.Precision.HIGH)
+        d2 = jnp.maximum(a2[:, None] - 2.0 * ab + b2[None, :], 0.0)
+        idx = jnp.argmin(d2, axis=-1)                         # (P,) local
+        dmin = jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
+        onehot = jax.nn.one_hot(idx, t_cm.shape[1], dtype=jnp.float32)
+        matched_cm = jnp.einsum("cm,pm->cp", t_cm, onehot,
+                                precision=jax.lax.Precision.HIGHEST)
+        # cross-shard selection with invariant collectives (min value is
+        # a SELECTION — bitwise the global min); lowest shard index wins
+        # ties, which over contiguous blocks == the global first-argmin
+        gmin = jax.lax.pmin(dmin, axis)                       # (P,)
+        mine = jnp.where(dmin == gmin, jax.lax.axis_index(axis), k)
+        winner = jax.lax.pmin(mine, axis)                     # (P,)
+        keep = (winner == jax.lax.axis_index(axis))[None, :]  # (1, P)
+        return jax.lax.psum(jnp.where(keep, matched_cm, 0.0), axis)
+
+    # the match is a piecewise-constant selection: cut autodiff at its
+    # inputs (pmin/psum-selection have no/irrelevant diff rules); the
+    # gradient flows through the difference below, exactly the reference
+    # KNN-gather backward (ops/knn.py `nn_distance_xla`)
+    matched_cm = jax.shard_map(
+        match, mesh=mesh, in_specs=(P(), P(axis, None)), out_specs=P(),
+    )(jax.lax.stop_gradient(pred), jax.lax.stop_gradient(target))
+    p_cm = jnp.moveaxis(pred, -1, 0).reshape(3, h * m)
+    diff_cm = p_cm - matched_cm
+    return safe_norm(diff_cm, axis=0).reshape(h, m)
+
+
+def make_sp_inference_step(pipe, mesh: Mesh, refine_iterations: int = 2,
+                           axis: str = "points"):
+    """Pose estimation with the sampled cloud sharded over `axis`.
+
+    Returns step(variables, img, cloud, choose, obj) -> PoseEstimate with
+    the same semantics as `pipe.estimate`: cloud/choose (B, N, ...) are
+    split into contiguous N/K blocks per device, img/params replicated;
+    the trunk pools pmean across shards and the best-confidence initial
+    hypothesis is a cross-shard argmax (first-win, matching the global
+    argmax tie-break). N must divide by the axis size."""
+    from plr2_tpu.geometry.quaternion import normalize_quaternion
+    from plr2_tpu.pipeline import PoseEstimate
+    from plr2_tpu.refine.iterative import iterative_refine
+
+    sp_posenet = pipe.posenet.clone(points_axis=axis)
+    sp_refiner = pipe.refiner.clone(points_axis=axis)
+    k = mesh.shape[axis]
+
+    def local_step(variables, img, cloud, choose, obj):
+        pred_r, pred_t, pred_c, emb = sp_posenet.apply(
+            variables["posenet"], img, cloud, choose, obj)
+        conf = pred_c[..., 0]                                  # (B, n_local)
+        which = jnp.argmax(conf, axis=-1)                      # (B,)
+        take = lambda arr: jnp.take_along_axis(  # noqa: E731
+            arr, which[:, None, None], axis=1)[:, 0]
+        cand_c = jnp.take_along_axis(conf, which[:, None], axis=1)[:, 0]
+        cand_q = normalize_quaternion(take(pred_r))
+        cand_t = take(cloud) + take(pred_t)
+        # cross-shard best hypothesis: pmax of the local winners; the
+        # lowest shard index wins ties, which over contiguous blocks ==
+        # the global first argmax. Invariant collectives only (vma-clean).
+        gmax = jax.lax.pmax(cand_c, axis)                      # (B,)
+        mine = jnp.where(cand_c == gmax, jax.lax.axis_index(axis), k)
+        keep = (jax.lax.pmin(mine, axis) ==
+                jax.lax.axis_index(axis))[:, None]             # (B, 1)
+        q0 = jax.lax.psum(jnp.where(keep, cand_q, 0.0), axis)
+        t0 = jax.lax.psum(jnp.where(keep, cand_t, 0.0), axis)
+
+        def refiner_fn(new_cloud, emb_, obj_):
+            return sp_refiner.apply(variables["refiner"], new_cloud, emb_,
+                                    obj_)
+
+        q, t = iterative_refine(refiner_fn, cloud, emb, obj, q0, t0,
+                                refine_iterations)
+        return PoseEstimate(quat=q, trans=t, confidence=gmax)
+
+    sharded = P(None, axis)
+    step = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), sharded, sharded, P()),
+        out_specs=PoseEstimate(quat=P(), trans=P(), confidence=P()),
+    )
+    return jax.jit(step)

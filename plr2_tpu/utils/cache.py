@@ -39,13 +39,20 @@ def cpu_cache_tag(cpuinfo_path: str = "/proc/cpuinfo") -> str:
     try:
         with open(cpuinfo_path) as f:
             lines = f.read().splitlines()
-        # x86 spells these "model name"/"flags"; ARM "Processor"/"Features"/
-        # "CPU part". If none match, fall back to the whole cpuinfo text —
-        # volatile fields (cpu MHz) then churn the tag across boots, which
-        # wastes cache but never aliases two ISAs to one dir.
+        # x86 spells these "model name"/"flags" (+ vendor/family/model/
+        # stepping — LLVM derives TUNING features like prefer-no-gather
+        # from the CPUID triple, not from the flag list, so two VMs with
+        # identical model-name+flags but different steppings must not
+        # alias: observed as a target-machine-feature mismatch warning
+        # when loading AOT artifacts after a VM rebuild); ARM "Processor"/
+        # "Features"/"CPU part"/variant/revision. If none match, fall back
+        # to the whole cpuinfo text — volatile fields (cpu MHz) then churn
+        # the tag across boots, which wastes cache but never aliases two
+        # ISAs to one dir.
         picked = [l for l in lines if l.startswith(
-            ("model name", "flags", "Processor", "Features",
-             "CPU implementer", "CPU part"))]
+            ("vendor_id", "cpu family", "model", "stepping", "flags",
+             "Processor", "Features", "CPU implementer", "CPU part",
+             "CPU variant", "CPU revision"))]
         key = platform.machine() + "\n".join(picked or lines)
         return hashlib.sha1(key.encode()).hexdigest()[:10]
     except OSError:

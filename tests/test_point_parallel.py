@@ -1,0 +1,90 @@
+"""Sequence (point-axis) parallelism tests on the 8-virtual-device CPU
+backend. The reference has no sequence parallelism (single-GPU torch, the
+"sequence" is the fixed 500/1000-point cloud — SURVEY.md section 2
+parallelism table); parallel/point_parallel.py is the TPU-native scale-out
+path for point counts / target meshes beyond one chip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plr2_tpu.ops.knn import chamfer_min_distance
+from plr2_tpu.parallel import make_mesh
+from plr2_tpu.parallel.point_parallel import (
+    _pad_wrap, make_sp_inference_step, sp_chamfer)
+from plr2_tpu.pipeline import DenseFusionPipeline
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, ("points",))
+
+
+def test_pad_wrap_repeats_first_row():
+    t = jnp.arange(15, dtype=jnp.float32).reshape(5, 3)
+    p = _pad_wrap(t, 4)
+    assert p.shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(p[5:]),
+                                  np.tile(np.asarray(t[:1]), (3, 1)))
+    assert _pad_wrap(t, 5) is t
+
+
+@pytest.mark.parametrize("m2", [53, 64])  # non-divisible (wrap pad) + even
+def test_sp_chamfer_matches_single_device(mesh, m2):
+    k = jax.random.split(jax.random.key(0), 2)
+    pred = jax.random.normal(k[0], (4, 96, 3))
+    target = jax.random.normal(k[1], (m2, 3))
+    ref = np.asarray(chamfer_min_distance(pred, target))
+    sp = np.asarray(sp_chamfer(mesh, pred, target))
+    # matched coords are bitwise equal; the final norm may round one ulp
+    # differently across program fusions (module docstring)
+    np.testing.assert_allclose(sp, ref, rtol=1e-6, atol=0)
+
+
+def test_sp_chamfer_gradient_matches(mesh):
+    k = jax.random.split(jax.random.key(3), 2)
+    pred = jax.random.normal(k[0], (2, 64, 3))
+    target = jax.random.normal(k[1], (40, 3))
+    g_ref = jax.grad(lambda p: jnp.sum(chamfer_min_distance(p, target)))(pred)
+    g_sp = jax.grad(lambda p: jnp.sum(sp_chamfer(mesh, p, target)))(pred)
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+    # target is GT: no gradient should flow into it
+    gt = jax.grad(lambda t: jnp.sum(sp_chamfer(mesh, pred, t)))(target)
+    np.testing.assert_array_equal(np.asarray(gt), 0.0)
+
+
+def test_sp_chamfer_exact_coincidence_no_nan(mesh):
+    # pred point exactly on a target point: distance 0, gradient 0
+    target = jnp.asarray([[0.1, 0.2, 0.3], [1.0, 1.0, 1.0]] * 4)
+    pred = jnp.broadcast_to(target[0], (1, 8, 3))
+    dis = sp_chamfer(mesh, pred, target)
+    np.testing.assert_array_equal(np.asarray(dis), 0.0)
+    g = jax.grad(lambda p: jnp.sum(sp_chamfer(mesh, p, target)))(pred)
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_sp_inference_step_matches_pipeline(mesh):
+    pipe = DenseFusionPipeline(num_points=64, num_objects=5)
+    variables = pipe.init(jax.random.key(0), crop_hw=48, batch=1)
+    ks = jax.random.split(jax.random.key(1), 3)
+    b, n = 4, 64
+    img = jax.random.normal(ks[0], (b, 48, 48, 3))
+    cloud = jax.random.normal(ks[1], (b, n, 3)) * 0.1
+    choose = jax.random.randint(ks[2], (b, n), 0, 48 * 48)
+    obj = jnp.arange(b, dtype=jnp.int32) % 5
+
+    ref = pipe.estimate(variables, img, cloud, choose, obj,
+                        refine_iterations=2)
+    step = make_sp_inference_step(pipe, mesh, refine_iterations=2)
+    sp = step(variables, img, cloud, choose, obj)
+    # pmean reassociates the global pools -> small float drift only
+    np.testing.assert_allclose(np.asarray(sp.quat), np.asarray(ref.quat),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sp.trans), np.asarray(ref.trans),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sp.confidence),
+                               np.asarray(ref.confidence),
+                               rtol=1e-5, atol=1e-6)

@@ -85,9 +85,10 @@ def test_cpu_cache_tag_separates_isas(tmp_path):
     while volatile cpuinfo fields (cpu MHz) must not churn the tag."""
     from plr2_tpu.utils.cache import cpu_cache_tag
 
-    def info(model, flags, mhz):
-        p = tmp_path / f"{model}_{mhz}.txt"
+    def info(model, flags, mhz, stepping="7"):
+        p = tmp_path / f"{model}_{mhz}_{stepping}.txt"
         p.write_text(f"model name\t: {model}\n"
+                     f"stepping\t: {stepping}\n"
                      f"cpu MHz\t\t: {mhz}\n"
                      f"flags\t\t: {flags}\n")
         return str(p)
@@ -96,7 +97,11 @@ def test_cpu_cache_tag_separates_isas(tmp_path):
     avx2 = cpu_cache_tag(info("Xeon-1", "sse2 avx2", "2000.0"))
     other = cpu_cache_tag(info("Xeon-2", "sse2 avx2 avx512f", "2000.0"))
     same = cpu_cache_tag(info("Xeon-1", "sse2 avx2 avx512f", "2700.1"))
-    assert len({avx512, avx2, other}) == 3
+    # same model name + flags but different stepping: LLVM tunes (e.g.
+    # prefer-no-gather) by CPUID triple, so these must NOT alias
+    stepped = cpu_cache_tag(info("Xeon-1", "sse2 avx2 avx512f", "2000.0",
+                                 stepping="11"))
+    assert len({avx512, avx2, other, stepped}) == 4
     assert same == avx512
     # missing file: deterministic platform-based fallback, no crash
     assert cpu_cache_tag(str(tmp_path / "nope")) == cpu_cache_tag(
