@@ -39,8 +39,12 @@ from plr2_tpu.geometry.pointcloud import compose_pose, recenter_points
 from plr2_tpu.geometry.quaternion import normalize_quaternion
 
 
-def make_pp_refine(refiner, mesh: Mesh, num_micro: int, axis: str = "pipe"):
-    """Pipelined refinement: refine_iterations == mesh.shape[axis] stages.
+def make_pp_refine(refiner, mesh: Mesh, num_micro: int, axis: str = "pipe",
+                   iters_per_stage: int = 1):
+    """Pipelined refinement: mesh.shape[axis] stages, each running
+    `iters_per_stage` consecutive refinement iterations (total =
+    stages * iters_per_stage — e.g. the reference's 2-iteration protocol
+    on a 2-stage ring, or 4 iterations as 2 stages x 2).
 
     Returns fn(refiner_variables, cloud, emb, obj, q0, t0) -> (q, t) over
     stacked microbatches — cloud (num_micro, mb, N, 3), emb (num_micro,
@@ -64,13 +68,14 @@ def make_pp_refine(refiner, mesh: Mesh, num_micro: int, axis: str = "pipe"):
             # stage 0 injects the fresh initial pose; later stages take
             # the streamed pose from their ring predecessor
             first = d == 0
-            q_cur = jnp.where(first, take(q0s, mc), q_in)
-            t_cur = jnp.where(first, take(t0s, mc), t_in)
+            q2 = jnp.where(first, take(q0s, mc), q_in)
+            t2 = jnp.where(first, take(t0s, mc), t_in)
             # identical arithmetic to refine.iterative.iterative_refine
-            new_cloud = recenter_points(cloud, q_cur, t_cur)
-            dq, dt = refiner.apply(rvars, new_cloud, emb, obj)
-            dq = normalize_quaternion(dq[:, 0, :])
-            q2, t2 = compose_pose(q_cur, t_cur, dq, dt[:, 0, :])
+            for _ in range(iters_per_stage):
+                new_cloud = recenter_points(cloud, q2, t2)
+                dq, dt = refiner.apply(rvars, new_cloud, emb, obj)
+                dq = normalize_quaternion(dq[:, 0, :])
+                q2, t2 = compose_pose(q2, t2, dq, dt[:, 0, :])
             perm = [(i, i + 1) for i in range(nstages - 1)]
             q_out = jax.lax.ppermute(q2, axis, perm)
             t_out = jax.lax.ppermute(t2, axis, perm)
@@ -95,21 +100,22 @@ def make_pp_refine(refiner, mesh: Mesh, num_micro: int, axis: str = "pipe"):
 
 
 def make_pp_estimate_step(pipe, mesh: Mesh, num_micro: int,
-                          axis: str = "pipe"):
+                          axis: str = "pipe", iters_per_stage: int = 1):
     """Full pose estimation with pipelined refinement.
 
     Returns step(variables, img, cloud, choose, obj) -> PoseEstimate with
-    `pipe.estimate(..., refine_iterations=mesh.shape[axis])` semantics.
-    The PoseNet forward runs batch-sharded over the SAME chips (the pipe
-    axis doubles as a data axis for the non-sequential part — every chip
-    is busy in both phases), then the batch is split into `num_micro`
-    microbatches that stream through the refinement ring. The batch size
-    must divide by num_micro.
+    `pipe.estimate(..., refine_iterations=stages * iters_per_stage)`
+    semantics. The PoseNet forward runs batch-sharded over the SAME chips
+    (the pipe axis doubles as a data axis for the non-sequential part —
+    every chip is busy in both phases), then the batch is split into
+    `num_micro` microbatches that stream through the refinement ring. The
+    batch size must divide by num_micro.
     """
     from plr2_tpu.pipeline import PoseEstimate
     from plr2_tpu.refine.iterative import initial_pose
 
-    refine = make_pp_refine(pipe.refiner, mesh, num_micro, axis)
+    refine = make_pp_refine(pipe.refiner, mesh, num_micro, axis,
+                            iters_per_stage)
 
     def step(variables, img, cloud, choose, obj):
         pred_r, pred_t, pred_c, emb = pipe.posenet.apply(

@@ -70,3 +70,14 @@ def test_pp_refine_two_stage_mesh():
                                np.asarray(q_ref), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(t_pp).reshape(b, 3),
                                np.asarray(t_ref), rtol=1e-5, atol=1e-5)
+
+    # 2 stages x 2 iterations each == the 4-iteration serving protocol
+    q_ref4, t_ref4 = iterative_refine(refiner_fn, cloud, emb, obj, q0, t0, 4)
+    refine4 = make_pp_refine(pipe.refiner, mesh2, num_micro=num_micro,
+                             iters_per_stage=2)
+    q_pp4, t_pp4 = refine4(variables["refiner"], split(cloud), split(emb),
+                           split(obj), split(q0), split(t0))
+    np.testing.assert_allclose(np.asarray(q_pp4).reshape(b, 4),
+                               np.asarray(q_ref4), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_pp4).reshape(b, 3),
+                               np.asarray(t_ref4), rtol=1e-5, atol=1e-5)
