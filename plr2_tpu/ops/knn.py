@@ -50,13 +50,20 @@ def safe_norm(diff: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.sqrt(jnp.where(positive, s, 1.0)) * positive
 
 
-def _nn_matched_cm(pred_cm: jnp.ndarray, target: jnp.ndarray,
-                   chunk: int = 65536) -> jnp.ndarray:
-    """Nearest-target coordinates for flattened query points (no autodiff).
+def nn_match_cm(pred_cm: jnp.ndarray, target: jnp.ndarray,
+                chunk: int = 65536) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest-target match for flattened query points (no autodiff).
 
     pred_cm: (3, P) COORDINATE-MAJOR queries; target: (M2, 3). Returns
-    matched (3, P), chunked over P to bound the live pairwise matrix at
-    chunk*M2.
+    (matched (3, P) nearest-target coordinates, dmin (P,) min squared
+    distance — cancellation-clamped, selection-grade only), chunked over
+    P to bound the live pairwise matrix at chunk*M2.
+
+    This is the one implementation of the local argmin match: the dense
+    chamfer (`nn_distance_xla`) and the target-sharded sequence-parallel
+    chamfer (`parallel.point_parallel.sp_chamfer`, which selects across
+    shards by dmin) both call it, so their per-element d2/argmin math is
+    bitwise identical by construction.
 
     Everything here is deliberately coordinate-major: a (..., big, 3)
     tensor invites XLA to tile its last two dims onto the (8, 128)
@@ -74,6 +81,7 @@ def _nn_matched_cm(pred_cm: jnp.ndarray, target: jnp.ndarray,
                         precision=jax.lax.Precision.HIGH)
         d2 = jnp.maximum(a2[:, None] - 2.0 * ab + b2[None, :], 0.0)
         idx = jnp.argmin(d2, axis=-1)                    # first argmin
+        dmin = jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
         # matched = target_cm @ onehot^T instead of a row gather: a
         # gather of millions of 12-byte rows is descriptor-bound on TPU
         # (the tiny-trailing-dim gather pathology, see CLAUDE.md); the
@@ -81,7 +89,7 @@ def _nn_matched_cm(pred_cm: jnp.ndarray, target: jnp.ndarray,
         # the (single-nonzero) products exact.
         onehot = jax.nn.one_hot(idx, target.shape[0], dtype=jnp.float32)
         return jnp.einsum("cm,pm->cp", target_cm, onehot,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=jax.lax.Precision.HIGHEST), dmin
 
     if p <= chunk:
         return block_match(pred_cm)
@@ -92,13 +100,17 @@ def _nn_matched_cm(pred_cm: jnp.ndarray, target: jnp.ndarray,
     # fori_loop + dynamic slices along the (contiguous) point axis instead
     # of lax.map over a transposed block stack — the (3, nb, C)<->(nb, 3, C)
     # moveaxis copies are pure HBM traffic
-    def body(i, out):
+    def body(i, carry):
+        out, dm = carry
         blk = jax.lax.dynamic_slice(pred_p, (0, i * chunk), (3, chunk))
-        return jax.lax.dynamic_update_slice(out, block_match(blk),
-                                            (0, i * chunk))
+        m, d = block_match(blk)
+        return (jax.lax.dynamic_update_slice(out, m, (0, i * chunk)),
+                jax.lax.dynamic_update_slice(dm, d, (i * chunk,)))
 
-    out = jax.lax.fori_loop(0, nb, body, jnp.zeros_like(pred_p))
-    return out[:, :p]
+    out, dm = jax.lax.fori_loop(
+        0, nb, body, (jnp.zeros_like(pred_p),
+                      jnp.zeros((pred_p.shape[1],), jnp.float32)))
+    return out[:, :p], dm[:p]
 
 
 @jax.custom_vjp
@@ -122,7 +134,7 @@ def nn_distance_xla(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
     All (3, H*M)-sized values (including the VJP residual) live
     coordinate-major so no layout choice can put the 3-sized axis on
-    the 128-lane dimension (see _nn_matched_cm).
+    the 128-lane dimension (see nn_match_cm).
     """
     dis, _ = _nn_distance_fwd(pred, target)
     return dis
@@ -131,7 +143,7 @@ def nn_distance_xla(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 def _nn_distance_fwd(pred, target):
     h, m, _ = pred.shape
     p_cm = jnp.moveaxis(pred, -1, 0).reshape(3, h * m)
-    matched_cm = _nn_matched_cm(p_cm, target)
+    matched_cm, _ = nn_match_cm(p_cm, target)
     diff_cm = p_cm - matched_cm                          # (3, H*M)
     dis_flat = safe_norm(diff_cm, axis=0)                # (H*M,)
     return dis_flat.reshape(h, m), (diff_cm, dis_flat, target.shape)

@@ -7,10 +7,10 @@ mean-pool in the fusion trunks and the O(N*M*M2) ADD-S chamfer match.
 Both shard cleanly over a mesh axis:
 
 * `sp_chamfer` shards the TARGET cloud: each device computes the argmin
-  match against its contiguous block of target points, then a pmin of
-  the per-query min distances + a psum of the winning shard's matched
-  coordinates selects the global nearest neighbour (two tiny invariant
-  collectives, no gather). The matched coordinates come out bitwise
+  match against its contiguous block of target points, then two pmins
+  (min distance, winner-shard tie-break) + a psum of the winning shard's
+  matched coordinates select the global nearest neighbour (three tiny
+  invariant collectives, no gather). The matched coordinates come out bitwise
   equal to `ops.knn.chamfer_min_distance`'s (first-win argmin over
   contiguous blocks reproduces the global first-argmin tie-break), with
   the same gather-through-argmin gradient; the final norm agrees to one
@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from plr2_tpu.ops.knn import safe_norm
+from plr2_tpu.ops.knn import nn_match_cm, safe_norm
 
 
 def _pad_wrap(target: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -70,20 +70,12 @@ def sp_chamfer(mesh: Mesh, pred: jnp.ndarray, target: jnp.ndarray,
 
     def match(pred_in, t_shard):
         # pred_in: (H, M, 3) replicated; t_shard: (M2/K, 3) this shard.
-        # Coordinate-major throughout (the (., 3) row-major layout puts 3
-        # elements on the 128-lane axis — see ops/knn.py `_nn_matched_cm`).
+        # The local match is ops/knn.py's `nn_match_cm` — the SAME
+        # implementation the dense path runs (chunked over queries,
+        # coordinate-major), so per-element d2/argmin math is bitwise
+        # identical across the two paths by construction.
         p_cm = jnp.moveaxis(pred_in, -1, 0).reshape(3, h * m)
-        t_cm = t_shard.T.astype(jnp.float32)                  # (3, m2k)
-        a2 = jnp.sum(p_cm * p_cm, axis=0)                     # (P,)
-        b2 = jnp.sum(t_cm * t_cm, axis=0)                     # (m2k,)
-        ab = jnp.einsum("cp,cm->pm", p_cm, t_cm,
-                        precision=jax.lax.Precision.HIGH)
-        d2 = jnp.maximum(a2[:, None] - 2.0 * ab + b2[None, :], 0.0)
-        idx = jnp.argmin(d2, axis=-1)                         # (P,) local
-        dmin = jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
-        onehot = jax.nn.one_hot(idx, t_cm.shape[1], dtype=jnp.float32)
-        matched_cm = jnp.einsum("cm,pm->cp", t_cm, onehot,
-                                precision=jax.lax.Precision.HIGHEST)
+        matched_cm, dmin = nn_match_cm(p_cm, t_shard)
         # cross-shard selection with invariant collectives (min value is
         # a SELECTION — bitwise the global min); lowest shard index wins
         # ties, which over contiguous blocks == the global first-argmin
@@ -123,6 +115,12 @@ def make_sp_inference_step(pipe, mesh: Mesh, refine_iterations: int = 2,
     sp_refiner = pipe.refiner.clone(points_axis=axis)
     k = mesh.shape[axis]
 
+    def check_shapes(cloud):
+        if cloud.shape[1] % k:
+            raise ValueError(
+                f"sequence parallelism needs the point count to divide by "
+                f"the '{axis}' axis size: N={cloud.shape[1]}, K={k}")
+
     def local_step(variables, img, cloud, choose, obj):
         pred_r, pred_t, pred_c, emb = sp_posenet.apply(
             variables["posenet"], img, cloud, choose, obj)
@@ -152,9 +150,14 @@ def make_sp_inference_step(pipe, mesh: Mesh, refine_iterations: int = 2,
         return PoseEstimate(quat=q, trans=t, confidence=gmax)
 
     sharded = P(None, axis)
-    step = jax.shard_map(
+    mapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(), sharded, sharded, P()),
         out_specs=PoseEstimate(quat=P(), trans=P(), confidence=P()),
     )
+
+    def step(variables, img, cloud, choose, obj):
+        check_shapes(cloud)  # trace-time: clear error before shard_map's
+        return mapped(variables, img, cloud, choose, obj)
+
     return jax.jit(step)
