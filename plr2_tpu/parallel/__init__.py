@@ -18,6 +18,7 @@ from plr2_tpu.parallel.tensor_parallel import (  # noqa: F401
 from plr2_tpu.parallel.point_parallel import (  # noqa: F401
     sp_chamfer,
     make_sp_inference_step,
+    make_sp_train_step,
 )
 from plr2_tpu.parallel.pipeline_parallel import (  # noqa: F401
     make_pp_refine,

@@ -19,13 +19,15 @@ Both shard cleanly over a mesh axis:
   mesh). This is the scale-out path when target meshes outgrow one
   chip's HBM or compute (the dense d2 matrix is H*M x M2).
 
-* `make_sp_inference_step` shards the SAMPLED cloud (and `choose`): the
-  per-point trunk, heads, and refinement run on 1/K of the points per
-  device; the global pools become pmeans (`models.posenet.
-  _global_point_mean`) and the best-confidence hypothesis selection is a
-  cross-shard argmax. The crop image and CNN stay replicated — the CNN
-  has no point axis. This is the sequence-parallel recipe if the point
-  count is ever scaled far past the reference's 500/1000.
+* `make_sp_inference_step` / `make_sp_train_step` shard the SAMPLED
+  cloud (and `choose`): the per-point trunk, heads, refinement — and in
+  training the per-hypothesis loss terms and their gradients — run on
+  1/K of the points per device; the global pools become pmeans
+  (`models.posenet._global_point_mean`) and the best-confidence
+  hypothesis selection is a cross-shard argmax. The crop image and CNN
+  stay replicated — the CNN has no point axis. This is the
+  sequence-parallel recipe if the point count is ever scaled far past
+  the reference's 500/1000.
 
 The reference has no counterpart (single-GPU; upstream lib/loss.py
 computes the chamfer dense on one device [upstream, mount empty]).
@@ -161,3 +163,83 @@ def make_sp_inference_step(pipe, mesh: Mesh, refine_iterations: int = 2,
         return mapped(variables, img, cloud, choose, obj)
 
     return jax.jit(step)
+
+
+def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
+                       axis: str = "points", sym_slots: int | None = None):
+    """Stage-1 training step with the sampled cloud sharded over `axis`.
+
+    Mirrors `parallel.data_parallel.make_train_step` (refine_iterations=0)
+    with sequence parallelism instead of batch sharding: every device
+    holds the full batch but only N/K of the sampled points — per-point
+    hypotheses, their losses, and their gradients shard 1/K; the loss is
+    a mean over (B, N) so the global value is the pmean of equal-sized
+    local means, and the reported best-confidence distance uses the
+    cross-shard argmax. BN/dropout live in the CNN, which runs on the
+    replicated crop — identical stats on every shard by construction.
+
+    The joint refine stage is NOT supported here (its re-centred
+    new_points/new_target handoff needs the cross-shard best hypothesis
+    inside the loss); use data parallelism for that stage, or
+    `sp_chamfer` directly if the target mesh is the thing that outgrew
+    the chip.
+
+    Returns (init_opt_state, train_step) with make_train_step's
+    signature: (variables, opt_state, batch, dropout_key) ->
+    (variables, opt_state, {loss, dis}).
+    """
+    import optax
+
+    from plr2_tpu.losses.add_loss import pose_loss
+
+    tx = optax.adam(lr)
+    sp_posenet = pipe.posenet.clone(points_axis=axis)
+    k = mesh.shape[axis]
+
+    def init_opt_state(variables):
+        return tx.init(variables["posenet"]["params"])
+
+    def local_loss(params, batch_stats, batch, dropout_key):
+        (pred_r, pred_t, pred_c, _), mutated = sp_posenet.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["img"], batch["points"], batch["choose"], batch["idx"],
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": dropout_key})
+        out = pose_loss(pred_r, pred_t, pred_c, batch["target"],
+                        batch["model_points"], batch["idx"], batch["points"],
+                        w=w, refine=False, sym_list=tuple(sym_list),
+                        max_sym_slots=sym_slots)
+        loss = jax.lax.pmean(out.loss, axis)  # mean over (B, N) points
+        # metric candidates leave the mapped fn SHARDED (the winner
+        # selection happens outside — pmax/pmin collectives have no
+        # autodiff rules, and even aux outputs are traced by jvp)
+        cand = jnp.stack([jnp.max(pred_c[..., 0], axis=-1), out.dis])
+        return loss, (mutated["batch_stats"], cand)  # cand: (2, B) local
+
+    sharded = P(None, axis)
+    batch_specs = {"img": P(), "points": sharded, "choose": sharded,
+                   "target": P(), "model_points": P(), "idx": P()}
+    mapped = jax.shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(P(), P(), batch_specs, P()),
+        out_specs=(P(), (P(), P(None, axis))))
+
+    def train_step(variables, opt_state, batch, dropout_key):
+        pn = variables["posenet"]
+        (loss, (bs, cand)), grads = jax.value_and_grad(
+            mapped, has_aux=True)(pn["params"], pn["batch_stats"],
+                                  batch, dropout_key)
+        # global best-confidence distance: first-win argmax over the K
+        # shard candidates == the global first argmax (contiguous blocks)
+        conf, dis_k = cand.reshape(2, k, -1)              # each (K, B)
+        which = jnp.argmax(conf, axis=0)                  # (B,)
+        dis = jnp.mean(jnp.take_along_axis(dis_k, which[None, :], axis=0))
+        updates, opt_state = tx.update(grads, opt_state, pn["params"])
+        variables = {
+            "posenet": {"params": optax.apply_updates(pn["params"], updates),
+                        "batch_stats": bs},
+            "refiner": variables["refiner"],
+        }
+        return variables, opt_state, {"loss": loss, "dis": dis}
+
+    return init_opt_state, jax.jit(train_step)

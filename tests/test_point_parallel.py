@@ -10,9 +10,9 @@ import numpy as np
 import pytest
 
 from plr2_tpu.ops.knn import chamfer_min_distance
-from plr2_tpu.parallel import make_mesh
+from plr2_tpu.parallel import make_mesh, make_train_step
 from plr2_tpu.parallel.point_parallel import (
-    _pad_wrap, make_sp_inference_step, sp_chamfer)
+    _pad_wrap, make_sp_inference_step, make_sp_train_step, sp_chamfer)
 from plr2_tpu.pipeline import DenseFusionPipeline
 
 
@@ -64,6 +64,45 @@ def test_sp_chamfer_exact_coincidence_no_nan(mesh):
     g = jax.grad(lambda p: jnp.sum(sp_chamfer(mesh, p, target)))(pred)
     assert np.all(np.isfinite(np.asarray(g)))
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_sp_train_step_matches_single_device(mesh):
+    """Stage-1 training with the point axis sharded: loss, metric,
+    updated params, and BN stats match the unsharded step (the loss is a
+    mean over (B, N) points — pmean of equal-sized local means)."""
+    pipe = DenseFusionPipeline(num_points=64, num_objects=5)
+    variables = pipe.init(jax.random.key(0), crop_hw=48, batch=1)
+    ks = jax.random.split(jax.random.key(1), 4)
+    b, n, m = 4, 64, 32
+    batch = {
+        "img": jax.random.normal(ks[0], (b, 48, 48, 3)),
+        "points": jax.random.normal(ks[1], (b, n, 3)) * 0.1,
+        "choose": jax.random.randint(ks[2], (b, n), 0, 48 * 48),
+        "target": jax.random.normal(ks[3], (b, m, 3)) * 0.05,
+        "model_points": jax.random.normal(ks[3], (b, m, 3)) * 0.05,
+        "idx": jnp.arange(b, dtype=jnp.int32) % 5,
+    }
+    init_ref, step_ref = make_train_step(pipe, sym_list=(1,), w=0.015,
+                                         lr=1e-4)
+    init_sp, step_sp = make_sp_train_step(pipe, mesh, sym_list=(1,),
+                                          w=0.015, lr=1e-4)
+    key = jax.random.key(2)
+    v1, _, m1 = step_ref(variables, init_ref(variables), batch, key)
+    v2, _, m2 = step_sp(variables, init_sp(variables), batch, key)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m2["dis"]), float(m1["dis"]), rtol=1e-5)
+    # params after one Adam step (grad ulps inflate through the
+    # normalizer, hence the atol); BN stats come from the replicated CNN
+    # and must be bitwise identical
+    for p1, p2 in zip(jax.tree_util.tree_leaves(v1["posenet"]["params"]),
+                      jax.tree_util.tree_leaves(v2["posenet"]["params"])):
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                                   atol=2e-5, rtol=0)
+    for s1, s2 in zip(
+            jax.tree_util.tree_leaves(v1["posenet"]["batch_stats"]),
+            jax.tree_util.tree_leaves(v2["posenet"]["batch_stats"])):
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(s1))
 
 
 def test_sp_inference_step_matches_pipeline(mesh):
