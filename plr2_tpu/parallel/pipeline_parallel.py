@@ -118,6 +118,10 @@ def make_pp_estimate_step(pipe, mesh: Mesh, num_micro: int,
                             iters_per_stage)
 
     def step(variables, img, cloud, choose, obj):
+        if img.shape[0] % num_micro:
+            raise ValueError(
+                f"pipelined refinement needs the batch to divide into "
+                f"microbatches: B={img.shape[0]}, num_micro={num_micro}")
         pred_r, pred_t, pred_c, emb = pipe.posenet.apply(
             variables["posenet"], img, cloud, choose, obj)
         q0, t0 = initial_pose(pred_r, pred_t, pred_c, cloud)
