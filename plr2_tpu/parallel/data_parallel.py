@@ -21,6 +21,13 @@ from plr2_tpu.losses.refine_loss import refine_loss
 from plr2_tpu.pipeline import DenseFusionPipeline
 
 
+def adam_update(tx, grads, opt_state, params):
+    """One optimizer step: returns (new_params, new_opt_state). Shared by
+    the data-parallel and sequence-parallel trainers."""
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state
+
+
 def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
                     w: float, lr: float, refine_iterations: int = 0,
                     mesh=None, remat: bool = False,
@@ -92,19 +99,15 @@ def make_train_step(pipe: DenseFusionPipeline, sym_list: Tuple[int, ...],
             rf_params = variables["refiner"]["params"]
             (loss, dis), grads = jax.value_and_grad(
                 _refiner_loss, has_aux=True)(rf_params, pn, batch)
-            updates, opt_state = tx.update(grads, opt_state, rf_params)
-            variables = {
-                "posenet": pn,
-                "refiner": {"params": optax.apply_updates(rf_params, updates)},
-            }
+            rf_params, opt_state = adam_update(tx, grads, opt_state, rf_params)
+            variables = {"posenet": pn, "refiner": {"params": rf_params}}
         else:
             (loss, (bs, dis)), grads = jax.value_and_grad(
                 _posenet_loss, has_aux=True)(pn["params"], pn["batch_stats"],
                                              batch, dropout_key)
-            updates, opt_state = tx.update(grads, opt_state, pn["params"])
+            params, opt_state = adam_update(tx, grads, opt_state, pn["params"])
             variables = {
-                "posenet": {"params": optax.apply_updates(pn["params"], updates),
-                            "batch_stats": bs},
+                "posenet": {"params": params, "batch_stats": bs},
                 "refiner": variables["refiner"],
             }
         return variables, opt_state, {"loss": loss, "dis": dis}

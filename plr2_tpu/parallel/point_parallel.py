@@ -20,9 +20,11 @@ Both shard cleanly over a mesh axis:
   chip's HBM or compute (the dense d2 matrix is H*M x M2).
 
 * `make_sp_inference_step` / `make_sp_train_step` shard the SAMPLED
-  cloud (and `choose`): the per-point trunk, heads, refinement — and in
-  training the per-hypothesis loss terms and their gradients — run on
-  1/K of the points per device; the global pools become pmeans
+  cloud (and `choose`): inference runs the per-point trunk, heads, and
+  refinement on 1/K of the points per device; training (STAGE-1 only —
+  see make_sp_train_step's docstring for why the joint refine stage
+  stays data-parallel) additionally shards the per-hypothesis loss terms
+  and their gradients. The global pools become pmeans
   (`models.posenet._global_point_mean`) and the best-confidence
   hypothesis selection is a cross-shard argmax. The crop image and CNN
   stay replicated — the CNN has no point axis. This is the
@@ -191,6 +193,7 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
     import optax
 
     from plr2_tpu.losses.add_loss import pose_loss
+    from plr2_tpu.parallel.data_parallel import adam_update
 
     tx = optax.adam(lr)
     sp_posenet = pipe.posenet.clone(points_axis=axis)
@@ -225,6 +228,11 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
         out_specs=(P(), (P(), P(None, axis))))
 
     def train_step(variables, opt_state, batch, dropout_key):
+        if batch["points"].shape[1] % k:
+            raise ValueError(
+                f"sequence parallelism needs the point count to divide by "
+                f"the '{axis}' axis size: N={batch['points'].shape[1]}, "
+                f"K={k}")
         pn = variables["posenet"]
         (loss, (bs, cand)), grads = jax.value_and_grad(
             mapped, has_aux=True)(pn["params"], pn["batch_stats"],
@@ -234,10 +242,9 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
         conf, dis_k = cand.reshape(2, k, -1)              # each (K, B)
         which = jnp.argmax(conf, axis=0)                  # (B,)
         dis = jnp.mean(jnp.take_along_axis(dis_k, which[None, :], axis=0))
-        updates, opt_state = tx.update(grads, opt_state, pn["params"])
+        params, opt_state = adam_update(tx, grads, opt_state, pn["params"])
         variables = {
-            "posenet": {"params": optax.apply_updates(pn["params"], updates),
-                        "batch_stats": bs},
+            "posenet": {"params": params, "batch_stats": bs},
             "refiner": variables["refiner"],
         }
         return variables, opt_state, {"loss": loss, "dis": dis}
