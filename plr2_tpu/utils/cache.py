@@ -43,8 +43,14 @@ def cpu_cache_tag(cpuinfo_path: str = "/proc/cpuinfo") -> str:
         # stepping — LLVM derives TUNING features like prefer-no-gather
         # from the CPUID triple, not from the flag list, so two VMs with
         # identical model-name+flags but different steppings must not
-        # alias: observed as a target-machine-feature mismatch warning
-        # when loading AOT artifacts after a VM rebuild); ARM "Processor"/
+        # alias. NOTE: the cpu_aot_loader "target machine feature ...
+        # not supported on the host" warning does NOT by itself indicate
+        # aliasing — it fires even when loading artifacts compiled in the
+        # SAME boot on the SAME host (verified round 3: all cache files
+        # newer than boot, warnings still printed), because the runtime
+        # host-feature probe reports ISA bits only, never the tuning
+        # prefs the compile-time target string embeds. Benign unless the
+        # mismatching features are real ISA bits); ARM "Processor"/
         # "Features"/"CPU part"/variant/revision. If none match, fall back
         # to the whole cpuinfo text — volatile fields (cpu MHz) then churn
         # the tag across boots, which wastes cache but never aliases two
