@@ -27,6 +27,15 @@ Design notes:
 * Stage count = mesh axis size = refine_iterations. The last stage
   accumulates finished poses locally; one psum at the end replicates them
   (all other stages contribute zeros).
+* There is deliberately NO pp training step: the joint-stage refiner
+  loss backpropagates per iteration (the re-centred handoff between
+  iterations is stop-gradiented — losses/refine_loss.py,
+  data_parallel._refiner_loss), so a training ring would carry zero
+  inter-stage gradient traffic while still needing an all-reduce of the
+  shared refiner weights' grads — i.e. it degenerates to data
+  parallelism over the iteration axis, plus a fill/drain bubble and
+  per-tick ppermutes that plain dp does not pay. Use dp for the joint
+  stage (docs/PARALLELISM.md has the full argument).
 """
 
 from __future__ import annotations
