@@ -41,10 +41,37 @@ class Sample(NamedTuple):
     idx: jnp.ndarray     # () object index
 
 
-@functools.partial(jax.jit, static_argnames=("num_points",))
+def _coord_scores(key: jax.Array, h: int, w: int) -> jnp.ndarray:
+    """(P,) int32 pseudo-random scores keyed by each pixel's WINDOW-RELATIVE
+    (row, col) coordinates (murmur3-style integer mixing of the coordinates
+    with the key material) — NOT by its flattened position. Consequence:
+    a pixel draws the identical score whether the window lives in a
+    host-side bbox crop (h x w) or at the top-left of a serving canvas
+    (240 x 240), so the stochastic subsample below picks the SAME pixel
+    set on both paths (host==device bit-exactness in both sampling
+    regimes, tests/test_serving.py). Scores are non-negative, so -1 is a
+    safe masked-out sentinel."""
+    kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    r = jnp.arange(h, dtype=jnp.uint32)[:, None]
+    c = jnp.arange(w, dtype=jnp.uint32)[None, :]
+    x = r * jnp.uint32(0x9E3779B1) ^ (c * jnp.uint32(0x85EBCA77))
+    x = x + kd[0]
+    x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+    x = x + kd[-1]
+    x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return (x >> jnp.uint32(1)).astype(jnp.int32).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_points", "width"))
 def sample_choose(mask_flat: jnp.ndarray, num_points: int,
-                  key: jax.Array) -> jnp.ndarray:
-    """mask_flat (P,) bool -> (num_points,) flat indices of chosen pixels."""
+                  key: jax.Array, width: int | None = None) -> jnp.ndarray:
+    """mask_flat (P,) bool -> (num_points,) flat indices of chosen pixels.
+
+    `width` is the window's row stride: when given, the random-subset
+    scores key off window-relative (row, col) coordinates so the chosen
+    set is independent of how the window is embedded in a larger array
+    (see _coord_scores). Without it the mask is treated as one row."""
     p = mask_flat.shape[0]
     count = jnp.sum(mask_flat.astype(jnp.int32))
     idx = jnp.arange(p, dtype=jnp.int32)
@@ -57,9 +84,11 @@ def sample_choose(mask_flat: jnp.ndarray, num_points: int,
     j = jnp.arange(num_points, dtype=jnp.int32)
     wrap = jnp.take(ordered, j % jnp.maximum(count, 1))
 
-    # random subset (count > num_points): top_k over uniform scores
-    rand_scores = jnp.where(
-        mask_flat, jax.random.uniform(key, (p,)), -jnp.inf)
+    # random subset (count > num_points): top_k over coordinate-keyed
+    # scores; top_k tie-break (lowest index) is row-major in every
+    # embedding, so even score collisions select consistently
+    w = width or p
+    rand_scores = jnp.where(mask_flat, _coord_scores(key, p // w, w), -1)
     _, subset = jax.lax.top_k(rand_scores, num_points)
     subset = jnp.sort(subset)  # reference keeps flat-index order after shuffle
 
@@ -204,7 +233,8 @@ def preprocess_crop(
     h, w = depth_crop.shape
     k_choose, k_jit, k_trans = jax.random.split(key, 3)
 
-    choose = sample_choose(mask_crop.reshape(-1), num_points, k_choose)
+    choose = sample_choose(mask_crop.reshape(-1), num_points, k_choose,
+                           width=mask_crop.shape[1])
 
     depth_sel = jnp.take(depth_crop.reshape(-1), choose)
     rows = (choose // w).astype(jnp.float32) + row0.astype(jnp.float32)

@@ -129,14 +129,18 @@ def evaluate_full_pipeline(
                     det_map.setdefault(obj_id, box)
         samples, objs = [], []
 
+        frame_key = jax.random.fold_in(key, fi)
+
         def _queue(obj_id, mask, r_gt, t_gt, bbox, scored):
-            nonlocal key
             raw = dict(
                 color=frame.color, depth=frame.depth.astype(np.float32),
                 mask=mask, target_r=r_gt, target_t=t_gt,
                 model_points=models[obj_id], obj_idx=obj_id - 1,
                 intrinsics=frame.intrinsics, bbox=bbox)
-            key, sub = jax.random.split(key)
+            # (frame, object-id)-derived key — the same derivation the
+            # device pipeline uses (serving.py _frame_samples), so the
+            # stochastic subsample path stays bit-exact host==device
+            sub = jax.random.fold_in(frame_key, obj_id)
             samples.append(raw_to_sample(raw, sub, n_pts, add_noise=False))
             objs.append((obj_id, scored))
 
@@ -271,7 +275,9 @@ def _evaluate_device_pipeline(pipe, variables, frames, models, sym_list,
         intr = jnp.asarray([frame.intrinsics[k] for k in
                             ("cx", "cy", "fx", "fy", "cam_scale")],
                            jnp.float32)
-        key, sub = jax.random.split(key)
+        # frame-index-derived key; the frame program folds it per object
+        # id, matching the host mode's derivation exactly
+        sub = jax.random.fold_in(key, fi)
         poses, samples = fe.run_with_samples(
             variables, jnp.asarray(frame.color),
             jnp.asarray(frame.depth, jnp.float32),

@@ -167,7 +167,12 @@ class FrameEstimator:
         color = jnp.pad(color, ((0, c), (0, c), (0, 0)))
         depth = jnp.pad(depth, ((0, c), (0, c)))
         label = jnp.pad(label, ((0, c), (0, c)))
-        keys = jax.random.split(key, obj_ids.shape[0])
+        # per-object keys derive from the OBJECT ID (not the slot index),
+        # so the stochastic subsample-choose path is bit-exact against the
+        # host chain, which folds the same frame key by the same id
+        # (eval/full_pipeline.py) — host==device holds in BOTH sampling
+        # regimes, not just deterministic wrap (tests/test_serving.py)
+        keys = jax.vmap(lambda o: jax.random.fold_in(key, o))(obj_ids)
         return jax.vmap(
             lambda o, m, tr, tt, k: self._sample_one(
                 color, depth, label, intr_vec, o, m, tr, tt, k)

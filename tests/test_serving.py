@@ -97,9 +97,9 @@ def test_frame_program_matches_host_chain(scene):
         jax.random.key(0),
         target_r=jnp.stack([jnp.asarray(frame.poses[o][0]) for o in obj_ids]),
         target_t=jnp.stack([jnp.asarray(frame.poses[o][1]) for o in obj_ids]))
-    # the device program splits its key the same way run() does; mirror it
-    # for the host chain
-    host_keys = jax.random.split(jax.random.key(0), len(obj_ids))
+    # the device program folds its frame key by object id; mirror it for
+    # the host chain (the shared host/device key-derivation contract)
+    host_keys = [jax.random.fold_in(jax.random.key(0), o) for o in obj_ids]
     batch, est = _host_estimate(pipe, variables, frame, models, obj_ids,
                                 host_keys, n_pts, 240, 2)
 
@@ -303,18 +303,27 @@ def test_serve_cli_smoke():
                for l in lines)
 
 
-def test_device_pipeline_eval_matches_host_mode(scene):
+@pytest.mark.parametrize("regime", ["wrap", "subsample"])
+def test_device_pipeline_eval_matches_host_mode(scene, regime):
     """evaluate_full_pipeline(device_pipeline=True) reproduces the host
-    mode exactly on the deterministic wrap-sampling path (the modes split
-    keys differently, but wrap sampling ignores the key, and eval runs
-    with add_noise=False so no other randomness exists)."""
+    mode exactly in BOTH sampling regimes: deterministic wrap (num_points
+    above every mask's pixel count) AND stochastic subsample (num_points
+    below — the common real-data case). Both modes derive each object's
+    key as fold_in(fold_in(base, frame), object_id), so the random choose
+    subsets are identical (VERDICT r3 item 6)."""
     from plr2_tpu.eval.full_pipeline import evaluate_full_pipeline
     from plr2_tpu.pipeline import DenseFusionPipeline
 
     frame, models = scene
-    max_pix = max(int(((frame.label == o) & (frame.depth > 0)).sum())
-                  for o in frame.poses)
-    n_pts = max_pix + 16
+    if regime == "wrap":
+        max_pix = max(int(((frame.label == o) & (frame.depth > 0)).sum())
+                      for o in frame.poses)
+        n_pts = max_pix + 16
+    else:
+        min_pix = min(int(((frame.label == o) & (frame.depth > 0)).sum())
+                      for o in frame.poses)
+        n_pts = min_pix - 8  # strictly fewer points than any mask
+        assert n_pts > 8
     pipe = DenseFusionPipeline(num_points=n_pts, num_objects=3)
     variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
 
