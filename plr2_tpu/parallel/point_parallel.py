@@ -21,10 +21,12 @@ Both shard cleanly over a mesh axis:
 
 * `make_sp_inference_step` / `make_sp_train_step` shard the SAMPLED
   cloud (and `choose`): inference runs the per-point trunk, heads, and
-  refinement on 1/K of the points per device; training (STAGE-1 only —
-  see make_sp_train_step's docstring for why the joint refine stage
-  stays data-parallel) additionally shards the per-hypothesis loss terms
-  and their gradients. The global pools become pmeans
+  refinement on 1/K of the points per device; training (both the stage-1
+  and the joint refine stage) additionally shards the per-hypothesis
+  loss terms and their gradients — the joint stage's re-centre handoff
+  selects the cross-shard best hypothesis with the same invariant
+  collectives as inference, under stop_gradient (the reference's
+  .detach() boundary). The global pools become pmeans
   (`models.posenet._global_point_mean`) and the best-confidence
   hypothesis selection is a cross-shard argmax. The crop image and CNN
   stay replicated — the CNN has no point axis. This is the
@@ -168,23 +170,30 @@ def make_sp_inference_step(pipe, mesh: Mesh, refine_iterations: int = 2,
 
 
 def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
-                       axis: str = "points", sym_slots: int | None = None):
-    """Stage-1 training step with the sampled cloud sharded over `axis`.
+                       axis: str = "points", sym_slots: int | None = None,
+                       refine_iterations: int = 0):
+    """Training step with the sampled cloud sharded over `axis`.
 
-    Mirrors `parallel.data_parallel.make_train_step` (refine_iterations=0)
-    with sequence parallelism instead of batch sharding: every device
-    holds the full batch but only N/K of the sampled points — per-point
-    hypotheses, their losses, and their gradients shard 1/K; the loss is
-    a mean over (B, N) so the global value is the pmean of equal-sized
-    local means, and the reported best-confidence distance uses the
-    cross-shard argmax. BN/dropout live in the CNN, which runs on the
-    replicated crop — identical stats on every shard by construction.
+    Mirrors `parallel.data_parallel.make_train_step` with sequence
+    parallelism instead of batch sharding: every device holds the full
+    batch but only N/K of the sampled points — per-point hypotheses,
+    their losses, and their gradients shard 1/K; the loss is a mean over
+    (B, N) so the global value is the pmean of equal-sized local means,
+    and the reported best-confidence distance uses the cross-shard
+    argmax. BN/dropout live in the CNN, which runs on the replicated
+    crop — identical stats on every shard by construction.
 
-    The joint refine stage is NOT supported here (its re-centred
-    new_points/new_target handoff needs the cross-shard best hypothesis
-    inside the loss); use data parallelism for that stage, or
-    `sp_chamfer` directly if the target mesh is the thing that outgrew
-    the chip.
+    With `refine_iterations > 0` this is the JOINT stage (frozen
+    eval-mode PoseNet, grads into the refiner only). The re-centred
+    new_points/new_target handoff needs the cross-shard best-confidence
+    hypothesis INSIDE the differentiated loss; it is selected with the
+    same invariant pmax/pmin/psum recipe as `make_sp_inference_step` —
+    under `stop_gradient`, exactly where the reference `.detach()`es the
+    handoff (upstream lib/loss.py [upstream, mount empty]), so no
+    gradient ever flows through the selection collectives. Each
+    iteration's refiner pool pmeans across shards; the per-iteration
+    distances are computed from replicated (delta-pose, target) tensors
+    and come out identical on every shard.
 
     Returns (init_opt_state, train_step) with make_train_step's
     signature: (variables, opt_state, batch, dropout_key) ->
@@ -192,15 +201,21 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
     """
     import optax
 
+    from plr2_tpu.geometry.quaternion import (normalize_quaternion,
+                                              quat_to_matrix_df)
     from plr2_tpu.losses.add_loss import pose_loss
+    from plr2_tpu.losses.refine_loss import refine_loss
     from plr2_tpu.parallel.data_parallel import adam_update
 
     tx = optax.adam(lr)
     sp_posenet = pipe.posenet.clone(points_axis=axis)
+    sp_refiner = pipe.refiner.clone(points_axis=axis)
     k = mesh.shape[axis]
+    refine_stage = refine_iterations > 0
 
     def init_opt_state(variables):
-        return tx.init(variables["posenet"]["params"])
+        target = "refiner" if refine_stage else "posenet"
+        return tx.init(variables[target]["params"])
 
     def local_loss(params, batch_stats, batch, dropout_key):
         (pred_r, pred_t, pred_c, _), mutated = sp_posenet.apply(
@@ -219,6 +234,56 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
         cand = jnp.stack([jnp.max(pred_c[..., 0], axis=-1), out.dis])
         return loss, (mutated["batch_stats"], cand)  # cand: (2, B) local
 
+    def local_refine_loss(rf_params, pn_variables, batch):
+        # frozen PoseNet forward in eval mode (reference: estimator.eval()
+        # in the joint stage); everything up to the refiner is constant
+        pred_r, pred_t, pred_c, emb = sp_posenet.apply(
+            pn_variables, batch["img"], batch["points"], batch["choose"],
+            batch["idx"])
+        pred_r, pred_t, conf = jax.lax.stop_gradient(
+            (pred_r.astype(jnp.float32), pred_t.astype(jnp.float32),
+             pred_c[..., 0].astype(jnp.float32)))
+        points = batch["points"].astype(jnp.float32)
+        target = batch["target"].astype(jnp.float32)
+
+        # cross-shard best-confidence handoff: local first-win argmax,
+        # then the make_sp_inference_step selection (pmax winner conf,
+        # lowest-shard tie-break == global first argmax over contiguous
+        # blocks, psum winner transfer) — all under the stop_gradient
+        # above, matching pose_loss's detached new_points/new_target
+        which = jnp.argmax(conf, axis=-1)                     # (B,)
+        take = lambda arr: jnp.take_along_axis(  # noqa: E731
+            arr, which[:, None, None], axis=1)[:, 0]
+        cand_c = jnp.take_along_axis(conf, which[:, None], axis=1)[:, 0]
+        cand_q = normalize_quaternion(take(pred_r))
+        cand_t = take(points) + take(pred_t)
+        gmax = jax.lax.pmax(cand_c, axis)
+        mine = jnp.where(cand_c == gmax, jax.lax.axis_index(axis), k)
+        keep = (jax.lax.pmin(mine, axis) ==
+                jax.lax.axis_index(axis))[:, None]            # (B, 1)
+        q0 = jax.lax.psum(jnp.where(keep, cand_q, 0.0), axis)
+        t0 = jax.lax.psum(jnp.where(keep, cand_t, 0.0), axis)
+        rot0 = quat_to_matrix_df(q0)                          # (B, 3, 3)
+        # metric re-centring at HIGHEST (add_loss.py precision rule)
+        new_points = jnp.matmul(points - t0[:, None, :], rot0,
+                                precision=jax.lax.Precision.HIGHEST)
+        new_target = jnp.matmul(target - t0[:, None, :], rot0,
+                                precision=jax.lax.Precision.HIGHEST)
+
+        loss = 0.0
+        for _ in range(refine_iterations):
+            dr, dt = sp_refiner.apply(
+                {"params": rf_params}, new_points,
+                jax.lax.stop_gradient(emb), batch["idx"])
+            ro = refine_loss(dr, dt, new_target, batch["model_points"],
+                             batch["idx"], new_points,
+                             sym_list=tuple(sym_list))
+            new_points, new_target = ro.new_points, ro.new_target
+            loss = loss + jnp.mean(ro.dis)
+        # dr/dt are replicated (the refiner pool pmeans across shards),
+        # so dis and loss are shard-invariant — no pmean needed
+        return loss, jnp.mean(ro.dis)
+
     sharded = P(None, axis)
     batch_specs = {"img": P(), "points": sharded, "choose": sharded,
                    "target": P(), "model_points": P(), "idx": P()}
@@ -226,6 +291,9 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
         local_loss, mesh=mesh,
         in_specs=(P(), P(), batch_specs, P()),
         out_specs=(P(), (P(), P(None, axis))))
+    mapped_refine = jax.shard_map(
+        local_refine_loss, mesh=mesh,
+        in_specs=(P(), P(), batch_specs), out_specs=(P(), P()))
 
     def train_step(variables, opt_state, batch, dropout_key):
         if batch["points"].shape[1] % k:
@@ -234,6 +302,14 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
                 f"the '{axis}' axis size: N={batch['points'].shape[1]}, "
                 f"K={k}")
         pn = variables["posenet"]
+        if refine_stage:
+            rf_params = variables["refiner"]["params"]
+            (loss, dis), grads = jax.value_and_grad(
+                mapped_refine, has_aux=True)(rf_params, pn, batch)
+            rf_params, opt_state = adam_update(tx, grads, opt_state,
+                                               rf_params)
+            variables = {"posenet": pn, "refiner": {"params": rf_params}}
+            return variables, opt_state, {"loss": loss, "dis": dis}
         (loss, (bs, cand)), grads = jax.value_and_grad(
             mapped, has_aux=True)(pn["params"], pn["batch_stats"],
                                   batch, dropout_key)
