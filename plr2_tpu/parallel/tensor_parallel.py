@@ -125,9 +125,25 @@ def tp_shardings(mesh: Mesh, variables) -> Any:
 
 
 def shard_variables(mesh: Mesh, variables) -> Any:
-    """Device-put the variables tree with tensor-parallel shardings."""
+    """Device-put the variables tree with tensor-parallel shardings.
+
+    In a multi-process world (mesh spanning hosts, every process holding
+    the same host-local tree — the standard same-seed init), the global
+    arrays are assembled from each process's LOCAL slices via
+    make_array_from_callback: a plain device_put would launch a
+    cross-process resharding program, whose gloo context rendezvous
+    times out when processes arrive minutes apart (1-CPU hosts,
+    tests/dist_step_runner.py)."""
     shardings = tp_shardings(mesh, variables)
-    return jax.tree_util.tree_map(jax.device_put, variables, shardings)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(jax.device_put, variables, shardings)
+
+    def put(leaf, sharding):
+        host = np.asarray(leaf)
+        return jax.make_array_from_callback(host.shape, sharding,
+                                            lambda idx: host[idx])
+
+    return jax.tree_util.tree_map(put, variables, shardings)
 
 
 def sharded_param_count(variables) -> int:
