@@ -119,6 +119,9 @@ class PoseNet(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused Pallas head kernels (interpret off-TPU)
     phase_upsample: bool = False  # phase-decomposed PSP upsample stages
+    # hand-derived phase-conv backward for grad-scan contexts (see
+    # ops/phase_upconv.py _phase_conv_flat_cv)
+    scan_safe_phase_vjp: bool = False
     points_axis: Optional[str] = None  # mesh axis for sequence parallelism
 
     @nn.compact
@@ -135,6 +138,7 @@ class PoseNet(nn.Module):
         emb = PSPNet(emb_dim=self.emb_dim, dtype=self.dtype,
                      use_pallas=self.use_pallas,
                      phase_upsample=self.phase_upsample,
+                     scan_safe_phase_vjp=self.scan_safe_phase_vjp,
                      name="cnn")(img, train=train, choose=choose)  # (B, N, 32)
         feat = PoseNetFeat(dtype=self.dtype, points_axis=self.points_axis,
                            name="feat")(cloud, emb)

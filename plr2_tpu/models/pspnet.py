@@ -214,6 +214,10 @@ class PSPUpsample(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     use_phase: bool = False  # phase-decomposed upconv (ops/phase_upconv.py)
+    # hand-derived phase-conv backward for grad-scan contexts (the
+    # autodiff wgrad aborts the TPU compiler inside fused scans at
+    # crop >= 160; the batched step keeps autodiff — it measures faster)
+    scan_safe_phase_vjp: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -236,7 +240,8 @@ class PSPUpsample(nn.Module):
                                        in_features=x.shape[-1],
                                        name="conv")()
             return phase_upconv3x3_prelu(
-                x.astype(self.dtype), kernel, bias, prelu_alpha)
+                x.astype(self.dtype), kernel, bias, prelu_alpha,
+                scan_safe_vjp=self.scan_safe_phase_vjp)
         _, h, w, _ = x.shape
         x = bilinear_upscale_mm(x, 2 * h, 2 * w)
         x = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
@@ -271,6 +276,9 @@ class PSPNet(nn.Module):
     # never materializes the 2x maps; up_3 gathers chosen pixels straight
     # from the low-res phase grid (no depth-to-space).
     phase_upsample: bool = False
+    # route the phase-conv backward through the hand-derived transpose
+    # (grad-scan contexts only — see PSPUpsample.scan_safe_phase_vjp)
+    scan_safe_phase_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, choose=None):
@@ -283,11 +291,15 @@ class PSPNet(nn.Module):
         p = nn.Dropout(0.3, deterministic=not train, broadcast_dims=(1, 2),
                        name="drop_1")(p)
         p = PSPUpsample(256, dtype=self.dtype, use_pallas=self.use_pallas,
-                        use_phase=self.phase_upsample, name="up_1")(p)
+                        use_phase=self.phase_upsample,
+                        scan_safe_phase_vjp=self.scan_safe_phase_vjp,
+                        name="up_1")(p)
         p = nn.Dropout(0.15, deterministic=not train, broadcast_dims=(1, 2),
                        name="drop_2a")(p)
         p = PSPUpsample(64, dtype=self.dtype, use_pallas=self.use_pallas,
-                        use_phase=self.phase_upsample, name="up_2")(p)
+                        use_phase=self.phase_upsample,
+                        scan_safe_phase_vjp=self.scan_safe_phase_vjp,
+                        name="up_2")(p)
         p = nn.Dropout(0.15, deterministic=not train, broadcast_dims=(1, 2),
                        name="drop_2b")(p)
         if choose is not None and self.sparse_decode:
@@ -302,11 +314,14 @@ class PSPNet(nn.Module):
             kernel, bias, alpha = _UpsampleParams(
                 out_channels=64, in_features=p.shape[-1], name="up_3")()
             p = phase_upconv3x3_prelu_gather(
-                p.astype(self.dtype), kernel, bias, alpha, choose)
+                p.astype(self.dtype), kernel, bias, alpha, choose,
+                scan_safe_vjp=self.scan_safe_phase_vjp)
             p = p[:, :, None, :]  # (B, N, 1, 64)
         else:
             p = PSPUpsample(64, dtype=self.dtype, use_pallas=self.use_pallas,
-                            use_phase=self.phase_upsample, name="up_3")(p)
+                            use_phase=self.phase_upsample,
+                            scan_safe_phase_vjp=self.scan_safe_phase_vjp,
+                            name="up_3")(p)
             if choose is not None:
                 b, h, w, c = p.shape
                 p = jnp.take_along_axis(p.reshape(b, h * w, c),

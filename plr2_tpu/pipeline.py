@@ -30,13 +30,15 @@ class DenseFusionPipeline:
 
     def __init__(self, num_points: int, num_objects: int, emb_dim: int = 32,
                  dtype: Any = jnp.float32, use_pallas: bool = False,
-                 phase_upsample: bool = False):
+                 phase_upsample: bool = False,
+                 scan_safe_phase_vjp: bool = False):
         self.num_points = num_points
         self.num_objects = num_objects
         self.posenet = PoseNet(num_points=num_points, num_objects=num_objects,
                                emb_dim=emb_dim, dtype=dtype,
                                use_pallas=use_pallas,
-                               phase_upsample=phase_upsample)
+                               phase_upsample=phase_upsample,
+                               scan_safe_phase_vjp=scan_safe_phase_vjp)
         self.refiner = PoseRefineNet(num_points=num_points,
                                      num_objects=num_objects, dtype=dtype)
 

@@ -44,15 +44,22 @@ class FusedTrainer(Trainer):
     def __init__(self, config: PipelineConfig,
                  pipe: Optional[DenseFusionPipeline] = None):
         if pipe is None and config.model.phase_upsample:
-            # The phase-decomposed upsample conv inside this trainer's
-            # batch-1 lax.scan crashes the TPU XLA compiler
-            # (space_to_batch_converter.cc:543 "Check failed:
-            # std::abs(halo_size - low_padding) <= spatial_split_size",
-            # measured on v5e / jax 0.9.0). phase_upsample is an exact
-            # rewrite — same params, same outputs — so forcing it off here
-            # changes speed only. Measured cost: none at window 8 (the
-            # fused step is scan-bound, 28.2 ms either way).
-            import dataclasses
+            # Perf routing, NOT a compiler workaround anymore: the
+            # round-3 space_to_batch_converter abort on phase upsample
+            # inside this trainer's grad-scan is FIXED (hand-derived
+            # custom_vjp in ops/phase_upconv.py — plain dgrad convs +
+            # shifted-einsum wgrads; fused+phase at crop 160 compiles
+            # and runs on v5e: 33.92 ms/window-8). But the batch-1 scan
+            # measures FASTER on the dense upsample path (27.35
+            # ms/window-8 = 292.5 samples/s, docs/PERF_NOTES.md round-4
+            # entry), so — phase being an exact speed-only rewrite with
+            # the identical parameter tree (tests/test_fused_accum.py
+            # pins the grads) — this trainer routes to dense, the same
+            # measured-dispatch convention as ops/knn.py. To override,
+            # pass an explicit `pipe` with phase_upsample=True AND
+            # scan_safe_phase_vjp=True (the latter selects the
+            # hand-derived phase backward this trainer's grad-scan
+            # needs to compile at crop >= 160).
             import jax.numpy as _jnp
             dtype = (_jnp.bfloat16
                      if config.model.dtype in ("bfloat16", "bf16")

@@ -262,6 +262,17 @@ def test_phase_upsample_matches_dense_path(rng):
         assert bool(jnp.isfinite(a).all())
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
+    # the scan-safe hand-derived phase backward (ops/phase_upconv.py
+    # _phase_conv_flat_cv: dgrad convs + shifted-einsum wgrads) is a true
+    # transpose: same grads as the dense path's autodiff
+    scan_safe = PSPNet(emb_dim=8, phase_upsample=True,
+                       scan_safe_phase_vjp=True)
+    gs = jax.grad(lambda v: loss(v, scan_safe))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(gs),
+                    jax.tree_util.tree_leaves(gd)):
+        assert bool(jnp.isfinite(a).all())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
 
 def test_phase_upconv_non_square_shapes(rng):
     """Phase-decomposed upconv must stay exact on non-square maps and

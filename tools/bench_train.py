@@ -50,6 +50,9 @@ def main():
 
     pipe = DenseFusionPipeline(num_points=n_points, num_objects=num_objects,
                                phase_upsample=phase,
+                               # the fused grad-scan needs the hand-derived
+                               # phase backward to compile at crop 160
+                               scan_safe_phase_vjp=(phase and fused),
                                dtype=jnp.bfloat16 if bf16 else jnp.float32)
     variables = pipe.init(jax.random.key(0), crop_hw=crop, batch=1)
     if fused:
