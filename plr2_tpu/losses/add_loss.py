@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from plr2_tpu.geometry.quaternion import normalize_quaternion, quat_to_matrix_df
-from plr2_tpu.ops.knn import chamfer_min_distance, safe_norm
+from plr2_tpu.ops.knn import chamfer_min_distance
 
 
 class PoseLossOut(NamedTuple):
@@ -62,6 +62,33 @@ def _adds_distance(pred_b, target_b):
     return jnp.mean(chamfer_min_distance(pred_b, target_b), axis=-1)
 
 
+def paired_add_mean(rot, t, model_points, target):
+    """ADD: mean_j || rot_i @ mp_j + t_i - target_j ||  -> (B, N).
+
+    Computes the paired distance WITHOUT materializing the (B, N, M, 3)
+    hypothesis tensor: the K=3 rotate is nine broadcast FMA chains —
+    exact f32 elementwise VPU ops, the same arithmetic quality as the
+    HIGHEST-precision dot at K=3 — which XLA fuses with the squared-sum,
+    safe-sqrt, and mean-over-j reduction into (B, N)-output kernels. The
+    einsum formulation is a dot_general the fuser must materialize (192
+    MB at the stage-1 training shape, plus a 43x-padding layout trap on
+    the 3-trailing dim — see `compact` below); this form has no 3-dim
+    tensor at all. Subgradient at exact pred/target coincidence is zero
+    (safe_norm's torch.norm convention, regression-tested in
+    tests/test_losses.py). Measured: stage-1 loss fwd+bwd cut in
+    docs/PERF_NOTES.md round-4 entry."""
+    d2 = None
+    for axis in range(3):
+        p = (model_points[..., None, :, 0] * rot[..., :, None, axis, 0]
+             + model_points[..., None, :, 1] * rot[..., :, None, axis, 1]
+             + model_points[..., None, :, 2] * rot[..., :, None, axis, 2]
+             + t[..., :, None, axis] - target[..., None, :, axis])
+        d2 = p * p if d2 is None else d2 + p * p
+    positive = d2 > 0
+    return jnp.mean(jnp.sqrt(jnp.where(positive, d2, 1.0)) * positive,
+                    axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("w", "refine", "sym_list",
@@ -88,13 +115,23 @@ def pose_loss(
     pred_r, pred_t, pred_c, target, model_points, points = (
         x.astype(jnp.float32)
         for x in (pred_r, pred_t, pred_c, target, model_points, points))
-    pred, rot, t_cand = transform_hypotheses(pred_r, pred_t, points, model_points)
+    q = normalize_quaternion(pred_r)
+    rot = quat_to_matrix_df(q)     # (B, N, 3, 3)
+    t_cand = points + pred_t       # (B, N, 3) candidate translations
     c = pred_c[..., 0]  # (B, N)
 
-    # ADD: paired mean distance (safe_norm: zero gradient at exact zeros,
-    # torch.norm's convention — see ops/knn.py)
+    def make_pred():
+        # (B, N, M, 3) hypothesis tensor — ONLY built inside the chamfer
+        # branches that need explicit coordinates. lax.switch lifts
+        # closed-over values to eagerly-computed operands, so this must
+        # be called inside a branch body, never at trace top level.
+        pred = jnp.einsum("bjk,bilk->bijl", model_points, rot,
+                          precision=jax.lax.Precision.HIGHEST)
+        return pred + t_cand[:, :, None, :]
+
+    # ADD: paired mean distance, fused — no hypothesis materialization
     def add_all(_):
-        return jnp.mean(safe_norm(pred - target[:, None, :, :]), axis=-1)
+        return paired_add_mean(rot, t_cand, model_points, target)
 
     if not refine and len(sym_list) > 0:
         sym_arr = jnp.asarray(sym_list, dtype=idx.dtype)
@@ -103,7 +140,7 @@ def pose_loss(
         def adds_all(_):
             return jax.vmap(
                 _adds_distance
-            )(pred, target)  # (B, N)
+            )(make_pred(), target)  # (B, N)
 
         def mixed(_):
             return jnp.where(is_sym[:, None], adds_all(None), add_all(None))
