@@ -106,17 +106,20 @@ def main():
     compute_s = max(total - overhead, 1e-9)
     fps = batch * inner / compute_s
 
-    # MFU: analytic FLOP count of ONE pipeline step from XLA's HLO cost
-    # analysis on the lowered (uncompiled) module — the chained loop's
-    # while-op would be counted once, not inner times, so the per-step
-    # program is the honest unit. v5e bf16 MXU peak ~197 TFLOP/s
-    # (matches the measured 161 TF/s on the 8k^3 sanity loop at ~82%,
-    # docs/PERF_NOTES.md).
+    # MFU: analytic FLOP count of ONE pipeline step from XLA's cost
+    # analysis on the compiled per-step module — the chained loop's
+    # while-op body would be counted once, not inner times, so the
+    # per-step program is the honest unit (Lowered.cost_analysis()
+    # returns None on this backend; the compiled executable's works, and
+    # the one-time compile lands in the persistent cache). v5e bf16 MXU
+    # peak ~197 TFLOP/s (matches the measured 161 TF/s on the 8k^3
+    # sanity loop at ~82%, docs/PERF_NOTES.md).
     tflops = pct_peak = gflop_frame = None
     try:
         est = jax.jit(lambda v, im, p, ch, o: pipe.estimate(
             v, im, p, ch, o, refine_iterations=2))
-        ca = est.lower(variables, img, points, choose, obj).cost_analysis()
+        ca = est.lower(variables, img, points, choose,
+                       obj).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0)) if ca else 0.0
