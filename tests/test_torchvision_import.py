@@ -120,7 +120,9 @@ def test_imported_trunk_forward_matches_torch_mirror(imported):
     """The post-import trunk == the deep-stem PyTorch mirror carrying the
     same (transplanted) tensors — pins that the partial load produced a
     coherent parameter tree, not just individually-copied arrays."""
-    import test_torch_parity as ttp
+    # the mirror moved to the package so tools/verify_reference.py can
+    # reuse it (round 4); this test follows it there
+    from plr2_tpu.models import torch_mirror as ttp
 
     trunk, new_vars, _, _, _ = imported
     tm = ttp.TResNet18().eval()
