@@ -111,9 +111,12 @@ def main():
     # while-op body would be counted once, not inner times, so the
     # per-step program is the honest unit (Lowered.cost_analysis()
     # returns None on this backend; the compiled executable's works, and
-    # the one-time compile lands in the persistent cache). v5e bf16 MXU
-    # peak ~197 TFLOP/s (matches the measured 161 TF/s on the 8k^3
-    # sanity loop at ~82%, docs/PERF_NOTES.md).
+    # the one-time compile lands in the persistent cache). Peak ref: v5e
+    # bf16 MXU ~197 TFLOP/s (matches the measured 161 TF/s on the 8k^3
+    # sanity loop at ~82%, docs/PERF_NOTES.md); f32 mode runs its
+    # matmuls as multi-pass bf16 so its peak is ~half — compare each
+    # mode against its own roofline, not bf16's.
+    peak_tflops = 197.0 if use_bf16 else 98.5
     tflops = pct_peak = gflop_frame = None
     try:
         est = jax.jit(lambda v, im, p, ch, o: pipe.estimate(
@@ -126,7 +129,7 @@ def main():
         if flops > 0:
             gflop_frame = flops / batch / 1e9
             tflops = gflop_frame * fps / 1e3
-            pct_peak = 100.0 * tflops / 197.0
+            pct_peak = 100.0 * tflops / peak_tflops
     except Exception:
         pass  # cost analysis is best-effort; the throughput line stands
 
@@ -139,7 +142,8 @@ def main():
     if tflops is not None:
         line["gflop_per_frame"] = round(gflop_frame, 2)
         line["achieved_tflops"] = round(tflops, 1)
-        line["pct_bf16_peak"] = round(pct_peak, 1)
+        line["peak_tflops_ref"] = peak_tflops
+        line["pct_peak"] = round(pct_peak, 1)
     print(json.dumps(line))
 
 

@@ -60,10 +60,9 @@ class FusedTrainer(Trainer):
             # scan_safe_phase_vjp=True (the latter selects the
             # hand-derived phase backward this trainer's grad-scan
             # needs to compile at crop >= 160).
-            import jax.numpy as _jnp
-            dtype = (_jnp.bfloat16
+            dtype = (jnp.bfloat16
                      if config.model.dtype in ("bfloat16", "bf16")
-                     else _jnp.float32)
+                     else jnp.float32)
             pipe = DenseFusionPipeline(
                 num_points=config.model.num_points,
                 num_objects=config.model.num_objects,

@@ -56,19 +56,9 @@ import jax.numpy as jnp  # noqa: E402
 from plr2_tpu.parallel.data_parallel import make_train_step  # noqa: E402
 from plr2_tpu.pipeline import DenseFusionPipeline  # noqa: E402
 
-CROP, NPTS, NOBJ = 48, 64, 2
-
-
-def make_full_batch(batch):
-    ks = jax.random.split(jax.random.key(1), 5)
-    return {
-        "img": jax.random.normal(ks[0], (batch, CROP, CROP, 3), jnp.float32),
-        "points": jax.random.normal(ks[1], (batch, NPTS, 3)) * 0.1,
-        "choose": jax.random.randint(ks[2], (batch, NPTS), 0, CROP * CROP),
-        "target": jax.random.normal(ks[3], (batch, 64, 3)) * 0.05,
-        "model_points": jax.random.normal(ks[3], (batch, 64, 3)) * 0.05,
-        "idx": jnp.arange(batch, dtype=jnp.int32) % NOBJ,
-    }
+# the global batch MUST match test_distributed.py's single-process
+# cross-checks byte-for-byte — shared constructor (tests/dist_common.py)
+from dist_common import CROP, NPTS, NOBJ, make_full_batch  # noqa: E402
 
 
 def shard_global_batch(mesh, full, data_shards):
@@ -91,30 +81,6 @@ def abs_sum(tree) -> float:
                      for x in jax.tree_util.tree_leaves(tree)))
 
 
-if scenario == "stage1":
-    mesh = make_mesh()
-    assert mesh.devices.size == jax.device_count()
-    pipe = DenseFusionPipeline(num_points=NPTS, num_objects=NOBJ)
-    # same seed on every process -> identical replicated parameters
-    variables = pipe.init(jax.random.key(0), crop_hw=CROP, batch=1)
-    init_fn, step = make_train_step(pipe, sym_list=(1,), w=0.015, lr=1e-4,
-                                    mesh=mesh)
-    opt_state = init_fn(variables)
-    full = make_full_batch(2)
-    batch = shard_global_batch(mesh, full, nproc)
-    v, o, m = step(variables, opt_state, batch, jax.random.key(7))
-    loss = float(np.asarray(m["loss"]))
-    leaf = np.asarray(jax.tree_util.tree_leaves(v["posenet"]["params"])[0])
-    print(f"RESULT proc={proc_id} loss={loss:.8f} "
-          f"checksum={float(np.abs(leaf).sum()):.8f}", flush=True)
-    sys.exit(0)
-
-# ---- dp x tp joint-stage scenarios: (data=2, model=4) over 4 processes ----
-from plr2_tpu.parallel.tensor_parallel import shard_variables  # noqa: E402
-from plr2_tpu.train.checkpoint import (load_variables,  # noqa: E402
-                                       save_variables)
-
-
 def coord_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
     """Align processes via the coordination service (pure gRPC).
 
@@ -126,6 +92,37 @@ def coord_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
     from jax._src import distributed
 
     distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
+
+if scenario == "stage1":
+    mesh = make_mesh()
+    assert mesh.devices.size == jax.device_count()
+    pipe = DenseFusionPipeline(num_points=NPTS, num_objects=NOBJ)
+    # same seed on every process -> identical replicated parameters
+    variables = pipe.init(jax.random.key(0), crop_hw=CROP, batch=1)
+    init_fn, step = make_train_step(pipe, sym_list=(1,), w=0.015, lr=1e-4,
+                                    mesh=mesh)
+    opt_state = init_fn(variables)
+    full = make_full_batch(2)
+    batch = shard_global_batch(mesh, full, nproc)
+    # compile-then-align, like the dptp scenarios below: the compile (or
+    # cache-load + imports) skew between the two processes must not eat
+    # into gloo's ~30 s first-collective window
+    step_exe = step.lower(variables, opt_state, batch,
+                          jax.random.key(7)).compile()
+    coord_barrier("stage1_compiled")
+    v, o, m = step_exe(variables, opt_state, batch, jax.random.key(7))
+    loss = float(np.asarray(m["loss"]))
+    leaf = np.asarray(jax.tree_util.tree_leaves(v["posenet"]["params"])[0])
+    print(f"RESULT proc={proc_id} loss={loss:.8f} "
+          f"checksum={float(np.abs(leaf).sum()):.8f}", flush=True)
+    sys.exit(0)
+
+# ---- dp x tp joint-stage scenarios: (data=2, model=4) over 4 processes ----
+from plr2_tpu.parallel.tensor_parallel import shard_variables  # noqa: E402
+from plr2_tpu.train.checkpoint import (load_variables,  # noqa: E402
+                                       save_variables)
+
 
 assert jax.device_count() == 8, jax.device_count()
 # model axis of size 4 = the 2 local devices of TWO different processes:

@@ -35,7 +35,10 @@ def _spawn(proc_id, nproc, port, scenario=None, ckpt=None):
                             stderr=subprocess.PIPE, text=True, env=env)
 
 
-def _collect(procs, timeout=840):
+def _collect(procs, timeout=1980):
+    # timeout must exceed dist_step_runner.py's 1,800 s coord_barrier:
+    # on a cold cache the 4-process dp x tp scenario serializes four
+    # AOT compiles on this 1-CPU host and the barrier headroom is real
     results = {}
     for p in procs:
         out, err = p.communicate(timeout=timeout)
@@ -62,20 +65,13 @@ def test_two_process_sharded_step_matches_single_process():
     from plr2_tpu.parallel.data_parallel import make_train_step
     from plr2_tpu.pipeline import DenseFusionPipeline
 
-    CROP, NPTS, NOBJ, BATCH = 48, 64, 2, 2
+    from dist_common import CROP, NPTS, NOBJ, make_full_batch
+
     pipe = DenseFusionPipeline(num_points=NPTS, num_objects=NOBJ)
     variables = pipe.init(jax.random.key(0), crop_hw=CROP, batch=1)
     init_fn, step = make_train_step(pipe, sym_list=(1,), w=0.015, lr=1e-4)
     opt_state = init_fn(variables)
-    ks = jax.random.split(jax.random.key(1), 5)
-    batch = {
-        "img": jax.random.normal(ks[0], (BATCH, CROP, CROP, 3), jnp.float32),
-        "points": jax.random.normal(ks[1], (BATCH, NPTS, 3)) * 0.1,
-        "choose": jax.random.randint(ks[2], (BATCH, NPTS), 0, CROP * CROP),
-        "target": jax.random.normal(ks[3], (BATCH, 64, 3)) * 0.05,
-        "model_points": jax.random.normal(ks[3], (BATCH, 64, 3)) * 0.05,
-        "idx": jnp.arange(BATCH, dtype=jnp.int32) % NOBJ,
-    }
+    batch = make_full_batch(2)  # == the runner's 2-process global batch
     v, o, m = step(variables, opt_state, batch, jax.random.key(7))
     ref_loss = float(np.asarray(m["loss"]))
     leaf = np.asarray(jax.tree_util.tree_leaves(v["posenet"]["params"])[0])
@@ -115,20 +111,13 @@ def test_four_process_dptp_refine_checkpoint_cycle(tmp_path):
     from plr2_tpu.parallel.data_parallel import make_train_step
     from plr2_tpu.pipeline import DenseFusionPipeline
 
-    CROP, NPTS, NOBJ, BATCH = 48, 64, 2, 4
+    from dist_common import CROP, NPTS, NOBJ, make_full_batch
+
     pipe = DenseFusionPipeline(num_points=NPTS, num_objects=NOBJ)
     variables = pipe.init(jax.random.key(0), crop_hw=CROP, batch=1)
     init_fn, step = make_train_step(pipe, sym_list=(1,), w=0.015, lr=1e-4,
                                     refine_iterations=2)
-    ks = jax.random.split(jax.random.key(1), 5)
-    batch = {
-        "img": jax.random.normal(ks[0], (BATCH, CROP, CROP, 3), jnp.float32),
-        "points": jax.random.normal(ks[1], (BATCH, NPTS, 3)) * 0.1,
-        "choose": jax.random.randint(ks[2], (BATCH, NPTS), 0, CROP * CROP),
-        "target": jax.random.normal(ks[3], (BATCH, 64, 3)) * 0.05,
-        "model_points": jax.random.normal(ks[3], (BATCH, 64, 3)) * 0.05,
-        "idx": jnp.arange(BATCH, dtype=jnp.int32) % NOBJ,
-    }
+    batch = make_full_batch(4)  # == the runner's 4-process global batch
     v, o, m = step(variables, init_fn(variables), batch, jax.random.key(7))
     np.testing.assert_allclose(save[0][0], float(np.asarray(m["loss"])),
                                rtol=2e-3)

@@ -332,6 +332,17 @@ def weight_parity(root, files, report, max_pth):
                           "checkpoint? keys: "
                           f"{sorted(sd)[:5]}...")
             continue
+        if conv1d_heads is False:
+            # the import map assumes the upstream Conv1d head layout
+            # (out, in, 1); a 2-D Linear head means the survey misread
+            # the architecture — surface it instead of silently
+            # transposing wrong
+            failures += 1
+            report.append(
+                f"- `{rel}`: head weights are 2-D (Linear), not the "
+                "Conv1d layout SURVEY 2 documents — correct the survey "
+                "and models/torch_import.py before trusting parity.")
+            continue
         n, hw = 500, 80
         model = PoseNet(num_points=n, num_objects=num_obj)
         img = rng.normal(size=(1, hw, hw, 3)).astype(np.float32)
