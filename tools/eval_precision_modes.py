@@ -75,6 +75,7 @@ def main():
     from plr2_tpu.eval.metrics import compute_auc, success_rate
 
     n_samples = None
+    mode_aucs = {}  # name -> (point AUC, bootstrap AUC array)
     for name, kw, cast in modes:
         pipe = DenseFusionPipeline(num_points=500, num_objects=4, **kw)
         v = pipe.cast_variables(variables) if cast else variables
@@ -105,6 +106,21 @@ def main():
               f"mean_dis={res.mean_distance * 1000:.2f} mm  "
               f"0.1d-success={res.mean_success * 100:.1f}"
               f"±{np.std(succ) * 100:.1f}%", flush=True)
+        mode_aucs[name] = (res.auc, np.asarray(aucs))
+    # PAIRED diff CI vs f32: every mode's bootstrap used the identical
+    # resample indices (rng re-seeded per mode), so the per-resample AUC
+    # difference is a paired statistic — the honest noise floor for
+    # "is this fast mode accuracy-neutral?" (a CI that includes zero).
+    base_pt, base_bs = mode_aucs["f32"]
+    for name, (pt, bs) in mode_aucs.items():
+        if name == "f32":
+            continue
+        d = bs - base_bs
+        lo, hi = np.percentile(d, [2.5, 97.5])
+        verdict = "includes 0" if lo <= 0.0 <= hi else "EXCLUDES 0"
+        print(f"AUC delta {name:11s} vs f32: {pt - base_pt:+.3f} "
+              f"(paired 95% CI [{lo:+.3f}, {hi:+.3f}] — {verdict})",
+              flush=True)
     print(f"({n_samples} held-out novel-instance samples/mode, "
           f"{args.bootstrap} bootstrap resamples)", flush=True)
     return 0
