@@ -113,10 +113,13 @@ def main():
     # returns None on this backend; the compiled executable's works, and
     # the one-time compile lands in the persistent cache). Peak ref: v5e
     # bf16 MXU ~197 TFLOP/s (matches the measured 161 TF/s on the 8k^3
-    # sanity loop at ~82%, docs/PERF_NOTES.md); f32 mode runs its
-    # matmuls as multi-pass bf16 so its peak is ~half — compare each
-    # mode against its own roofline, not bf16's.
-    peak_tflops = 197.0 if use_bf16 else 98.5
+    # sanity loop at ~82%, docs/PERF_NOTES.md). The same peak applies to
+    # the --f32 mode: its matmuls run at DEFAULT precision (bf16
+    # operands, f32 accumulate — single MXU pass; TPU semantics), and
+    # only the small HIGHEST metric ops are multi-pass. Measured proof:
+    # f32 mode sustains 102 TF/s, above any "half peak" a multi-pass
+    # assumption would allow.
+    peak_tflops = 197.0
     tflops = pct_peak = gflop_frame = None
     try:
         est = jax.jit(lambda v, im, p, ch, o: pipe.estimate(
