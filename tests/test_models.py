@@ -274,6 +274,36 @@ def test_phase_upsample_matches_dense_path(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
+def test_phase_upconv_scan_safe_vjp_bf16(rng):
+    """The hand-derived phase backward must keep cotangent dtypes aligned
+    in bf16 compute (custom_vjp hard-errors on mismatch) and produce
+    finite, close-to-f32 grads on a non-square map — the mixed-precision
+    fused-scan configuration."""
+    from plr2_tpu.ops.phase_upconv import phase_upconv3x3_prelu
+
+    x32 = jnp.asarray(rng.normal(size=(2, 5, 9, 4)).astype(np.float32))
+    k32 = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32))
+    b32 = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+
+    def loss(x, k, b, dtype, scan_safe):
+        y = phase_upconv3x3_prelu(x.astype(dtype), k, b,
+                                  jnp.float32(0.25),
+                                  scan_safe_vjp=scan_safe)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(
+        x32, k32, b32, jnp.float32, True)
+    g_bf = jax.grad(loss, argnums=(0, 1, 2))(
+        x32, k32, b32, jnp.bfloat16, True)
+    for a, b in zip(g_bf, g_ref):
+        assert a.dtype == b.dtype == jnp.float32  # grads wrt f32 leaves
+        assert bool(jnp.isfinite(a).all())
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(np.asarray(a, np.float64) / scale,
+                                   np.asarray(b, np.float64) / scale,
+                                   atol=0.06)  # bf16 compute noise
+
+
 def test_phase_upconv_non_square_shapes(rng):
     """Phase-decomposed upconv must stay exact on non-square maps and
     odd channel counts (border corrections index rows and cols
