@@ -51,7 +51,6 @@ init_distributed(coordinator_address=f"127.0.0.1:{port}",
 assert jax.process_count() == nproc, jax.process_count()
 
 import numpy as np  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 
 from plr2_tpu.parallel.data_parallel import make_train_step  # noqa: E402
 from plr2_tpu.pipeline import DenseFusionPipeline  # noqa: E402

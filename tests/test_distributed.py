@@ -35,10 +35,12 @@ def _spawn(proc_id, nproc, port, scenario=None, ckpt=None):
                             stderr=subprocess.PIPE, text=True, env=env)
 
 
-def _collect(procs, timeout=1980):
-    # timeout must exceed dist_step_runner.py's 1,800 s coord_barrier:
-    # on a cold cache the 4-process dp x tp scenario serializes four
-    # AOT compiles on this 1-CPU host and the barrier headroom is real
+def _collect(procs, timeout=3600):
+    # a process's wall time is its OWN serialized compile work PLUS up
+    # to dist_step_runner.py's 1,800 s coord_barrier wait, so the
+    # parent's ceiling must cover both: on a cold cache the 4-process
+    # dp x tp scenario serializes four AOT compiles on this 1-CPU host
+    # (warm-cache runs finish in minutes; this is only a ceiling)
     results = {}
     for p in procs:
         out, err = p.communicate(timeout=timeout)
@@ -61,7 +63,6 @@ def test_two_process_sharded_step_matches_single_process():
 
     # single-process reference over the same global batch (mesh=None)
     import jax
-    import jax.numpy as jnp
     from plr2_tpu.parallel.data_parallel import make_train_step
     from plr2_tpu.pipeline import DenseFusionPipeline
 
@@ -107,7 +108,6 @@ def test_four_process_dptp_refine_checkpoint_cycle(tmp_path):
     # single-process reference: same joint-stage step on the same global
     # batch, no mesh (tp reassociates reductions -> loose-but-tiny rtol)
     import jax
-    import jax.numpy as jnp
     from plr2_tpu.parallel.data_parallel import make_train_step
     from plr2_tpu.pipeline import DenseFusionPipeline
 
