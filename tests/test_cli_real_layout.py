@@ -16,7 +16,7 @@ import os
 import subprocess
 import sys
 
-from test_real_loaders import linemod_root  # noqa: F401  (fixture reuse)
+from test_real_loaders import linemod_root, ycb_root  # noqa: F401  (fixtures)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -56,3 +56,30 @@ def test_train_then_eval_cli_on_real_layout(linemod_root, tmp_path):
     vals = dists["0"]
     assert len(vals) >= 1 and all(v == v for v in vals)  # finite
     assert rep["meta"]["dataset"] == "linemod"
+
+
+def test_train_then_eval_cli_on_real_layout_ycb(ycb_root, tmp_path):
+    outf, logd = str(tmp_path / "models"), str(tmp_path / "logs")
+    out = _run(["tools/train.py", "--dataset", "ycb",
+                "--dataset_root", str(ycb_root), "--nepoch", "1",
+                "--cpu", "--num_points", "96", "--mesh_points", "128",
+                "--batch_size", "2", "--outf", outf, "--log_dir", logd])
+    assert "epoch 1" in out, out[-500:]
+    ckpt_dir = os.path.join(outf, "ycb")
+    assert os.path.isdir(ckpt_dir), os.listdir(outf)
+
+    report = str(tmp_path / "distances.json")
+    out = _run(["tools/eval_ycb.py",
+                "--dataset_root", str(ycb_root), "--model", ckpt_dir,
+                "--cpu", "--num_points", "96", "--mesh_points", "128",
+                "--refine_iterations", "2", "--save_distances", report])
+    assert "loaded checkpoint (epoch 1)" in out, out[-500:]
+    assert "AUC" in out or "auc" in out, out[-500:]
+    with open(report) as f:
+        rep = json.load(f)
+    # the test list holds ONE frame; per-sample eval picks one labelled
+    # object per frame visit -> exactly one of the two fixture objects
+    keys = sorted(rep["distances"])
+    assert len(keys) == 1 and keys[0] in ("0", "1"), rep["distances"]
+    for vals in rep["distances"].values():
+        assert len(vals) >= 1 and all(v == v for v in vals)
