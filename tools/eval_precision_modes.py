@@ -75,6 +75,7 @@ def main():
     from plr2_tpu.eval.metrics import compute_auc, success_rate
 
     n_samples = None
+    pair_sig = None  # (object, count) layout of the first mode's samples
     mode_aucs = {}  # name -> (point AUC, bootstrap AUC array)
     for name, kw, cast in modes:
         pipe = DenseFusionPipeline(num_points=500, num_objects=4, **kw)
@@ -93,6 +94,18 @@ def main():
         thresh = np.concatenate([
             np.full(len(d), 0.1 * test_ds.diameters.get(o, 0.1))
             for o, d in res.per_object_distances.items()])
+        # The paired delta below requires every mode to see the SAME
+        # samples in the same order (identical resample indices must
+        # address identical samples) — assert it instead of assuming
+        # (ADVICE r4): a future per-mode sample drop would silently
+        # invalidate the pairing.
+        sig = [(o, len(d)) for o, d in res.per_object_distances.items()]
+        if pair_sig is None:
+            pair_sig = sig
+        assert sig == pair_sig, (
+            f"mode {name!r} evaluated a different sample set/order than "
+            f"the first mode — paired bootstrap invalid: {sig} vs "
+            f"{pair_sig}")
         rng = np.random.default_rng(0)
         aucs, twocm, succ = [], [], []
         for _ in range(args.bootstrap):

@@ -82,20 +82,78 @@ INVENTORY = [
 ]
 
 # The behavior contract (SURVEY section 5.6 / plr2_tpu/config.py). Each
-# entry: (label, our value, regex). A populated mount where a value never
-# appears is a survey correction to chase by hand.
+# entry: (label, [symbols to extract], our value). The audit extracts the
+# ACTUAL numeric values the reference binds to each symbol — argparse
+# defaults (`add_argument('--sym', ..., default=V)`) and literal
+# assignments / keyword bindings (`sym = V`, `opt.sym = V`) — and
+# compares numerically. A symbol bound only to OTHER values is a
+# DISCREPANCY (exit 1); presence of the digits elsewhere in the tree no
+# longer counts (VERDICT r4 weak #1: the old presence-regex audit would
+# bless a mount whose decay_margin was 0.02 as long as `0.016` appeared
+# anywhere). Membership semantics: the expected value must be AMONG the
+# bindings — upstream binds num_points to both 500 (LineMOD) and 1000
+# (YCB), and unrelated numeric bindings of a generic symbol (`w`) are
+# tolerated as long as ours appears.
 HYPERPARAMS = [
-    ("decay_margin", "0.016", r"0\.016\b"),
-    ("refine_margin", "0.013", r"0\.013\b"),
-    ("confidence weight w", "0.015", r"0\.015\b"),
-    ("noise_trans", "0.03", r"noise_trans|0\.03\b"),
-    ("lr", "1e-4", r"1e-4|0\.0001"),
-    ("lr/w decay rate", "0.3", r"0\.3\b"),
-    ("num_points LineMOD", "500", r"\b500\b"),
-    ("num_points YCB", "1000", r"\b1000\b"),
-    ("refine iterations", "2", r"iteration"),
-    ("batch_size", "8", r"batch_size"),
+    ("decay_margin", ["decay_margin"], 0.016),
+    ("refine_margin", ["refine_margin"], 0.013),
+    ("confidence weight w", ["w"], 0.015),
+    ("noise_trans", ["noise_trans"], 0.03),
+    ("lr", ["lr"], 1e-4),
+    ("lr decay rate", ["lr_rate"], 0.3),
+    ("w decay rate", ["w_rate"], 0.3),
+    ("num_points LineMOD", ["num_points", "num_pt"], 500),
+    ("num_points YCB", ["num_points", "num_points_ycb", "num_pt"], 1000),
+    ("refine iterations", ["iteration"], 2),
+    ("batch_size", ["batch_size"], 8),
 ]
+
+_NUM_RX = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
+
+
+def _parse_num(tok):
+    try:
+        return float(tok)
+    except ValueError:
+        return None
+
+
+def extract_values(root, files, sym):
+    """All numeric values the tree binds to `sym`, as (value, file:line).
+
+    Two binding forms: argparse defaults (the upstream train.py style —
+    `parser.add_argument('--decay_margin', default=0.016, ...)`, possibly
+    spanning lines) and plain assignments / keyword args
+    (`opt.num_points = 1000`, `w = 0.015`)."""
+    argparse_rx = re.compile(
+        r"add_argument\(\s*['\"]--?" + re.escape(sym) + r"['\"][^)]{0,400}?"
+        r"default\s*=\s*(" + _NUM_RX + r")", re.S)
+    assign_rx = re.compile(
+        r"\b" + re.escape(sym) + r"\s*=\s*(" + _NUM_RX + r")(?![\w.])")
+    out = []
+    for rel in files:
+        if os.path.splitext(rel)[1].lower() not in SCAN_EXT:
+            continue
+        path = os.path.join(root, rel)
+        try:
+            if os.path.getsize(path) > MAX_SCAN_BYTES:
+                continue
+            with open(path, "r", errors="replace") as fh:
+                text = fh.read()
+        except OSError:
+            continue
+        for m in argparse_rx.finditer(text):
+            v = _parse_num(m.group(1))
+            if v is not None:
+                line = text.count("\n", 0, m.start()) + 1
+                out.append((v, f"{rel}:{line}"))
+        for m in assign_rx.finditer(text):
+            # skip the default= inside add_argument already captured above
+            v = _parse_num(m.group(1))
+            if v is not None:
+                line = text.count("\n", 0, m.start()) + 1
+                out.append((v, f"{rel}:{line}"))
+    return out
 
 
 def list_files(root):
@@ -161,15 +219,29 @@ def inventory_audit(root, files, report):
 def hyperparam_audit(root, files, report):
     report.append("\n## Hyperparameter contract vs plr2_tpu/config.py\n")
     misses = 0
-    for label, ours, rx in HYPERPARAMS:
-        hits = grep_tree(root, files, rx, max_hits=3)
-        if hits:
-            report.append(f"- {label} = {ours}: found · {'; '.join(hits)}")
+    for label, syms, ours in HYPERPARAMS:
+        found = []
+        for s in syms:
+            found += extract_values(root, files, s)
+        match = [(v, loc) for v, loc in found
+                 if abs(v - ours) <= 1e-9 + 1e-6 * abs(ours)]
+        if match:
+            v, loc = match[0]
+            report.append(f"- {label} = {ours:g}: OK (binds {v:g} · {loc})")
+        elif found:
+            misses += 1
+            seen = "; ".join(f"{v:g} · {loc}" for v, loc in found[:4])
+            report.append(
+                f"- {label}: **DISCREPANCY** — reference binds "
+                f"{'/'.join(syms)} to [{seen}], ours is {ours:g}. Correct "
+                "config.py (and the curriculum/loss constants it feeds) "
+                "to the reference's value.")
         else:
             misses += 1
-            report.append(f"- {label} = {ours}: **NOT FOUND** — verify the "
-                          "reference's value by hand and correct config.py "
-                          "if it differs")
+            report.append(f"- {label} = {ours:g}: **NOT FOUND** — no "
+                          f"numeric binding of {'/'.join(syms)} anywhere "
+                          "in the mount; verify the reference's value by "
+                          "hand and correct config.py if it differs")
     return misses
 
 
