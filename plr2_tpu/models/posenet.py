@@ -123,6 +123,7 @@ class PoseNet(nn.Module):
     # ops/phase_upconv.py _phase_conv_flat_cv)
     scan_safe_phase_vjp: bool = False
     points_axis: Optional[str] = None  # mesh axis for sequence parallelism
+    bn_axis: Optional[str] = None  # see models/resnet.py BasicBlock.bn_axis
 
     @nn.compact
     def __call__(self, img, cloud, choose, obj, *, train: bool = False):
@@ -139,6 +140,7 @@ class PoseNet(nn.Module):
                      use_pallas=self.use_pallas,
                      phase_upsample=self.phase_upsample,
                      scan_safe_phase_vjp=self.scan_safe_phase_vjp,
+                     bn_axis=self.bn_axis,
                      name="cnn")(img, train=train, choose=choose)  # (B, N, 32)
         feat = PoseNetFeat(dtype=self.dtype, points_axis=self.points_axis,
                            name="feat")(cloud, emb)

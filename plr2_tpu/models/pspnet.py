@@ -21,7 +21,7 @@ the reference when readable.
 from __future__ import annotations
 
 import functools
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -279,10 +279,12 @@ class PSPNet(nn.Module):
     # route the phase-conv backward through the hand-derived transpose
     # (grad-scan contexts only — see PSPUpsample.scan_safe_phase_vjp)
     scan_safe_phase_vjp: bool = False
+    bn_axis: Optional[str] = None  # see models/resnet.py BasicBlock.bn_axis
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, choose=None):
-        f = DilatedResNet18(dtype=self.dtype, name="feats")(x, train=train)
+        f = DilatedResNet18(dtype=self.dtype, bn_axis=self.bn_axis,
+                            name="feats")(x, train=train)
         p = PSPModule(out_features=self.psp_out, sizes=self.sizes,
                       dtype=self.dtype, name="psp")(f)
         # upstream uses nn.Dropout2d: whole CHANNELS drop per sample, not

@@ -17,7 +17,7 @@ Structure contract (for weight transplant from the reference):
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,12 +31,16 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     use_downsample: bool = False
     dtype: Any = jnp.float32
+    # mesh axis to sync train-mode BN moments over (set when the batch is
+    # sharded over a MANUAL shard_map axis — composed dp x sp/tp meshes;
+    # under plain GSPMD data parallelism the global moments come for free)
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name,
+            dtype=self.dtype, axis_name=self.bn_axis, name=name,
         )
         residual = x
         pad = self.dilation
@@ -75,12 +79,13 @@ class DilatedResNet18(nn.Module):
 
     layers: Sequence[int] = (2, 2, 2, 2)
     dtype: Any = jnp.float32
+    bn_axis: Optional[str] = None  # see BasicBlock.bn_axis
 
     @nn.compact
     def __call__(self, x, *, train: bool = False) -> jnp.ndarray:
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name,
+            dtype=self.dtype, axis_name=self.bn_axis, name=name,
         )
         # 3-conv stem (pspnet-style)
         x = nn.Conv(64, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
@@ -110,6 +115,7 @@ class DilatedResNet18(nn.Module):
                     dilation=dilation,
                     use_downsample=first and (stride != 1 or in_planes != planes),
                     dtype=self.dtype,
+                    bn_axis=self.bn_axis,
                     name=f"layer{li}_block{bi}",
                 )(x, train=train)
             in_planes = planes

@@ -49,7 +49,7 @@ from plr2_tpu.geometry.quaternion import normalize_quaternion
 
 
 def make_pp_refine(refiner, mesh: Mesh, num_micro: int, axis: str = "pipe",
-                   iters_per_stage: int = 1):
+                   iters_per_stage: int = 1, batch_axis: str | None = None):
     """Pipelined refinement: mesh.shape[axis] stages, each running
     `iters_per_stage` consecutive refinement iterations (total =
     stages * iters_per_stage — e.g. the reference's 2-iteration protocol
@@ -59,6 +59,12 @@ def make_pp_refine(refiner, mesh: Mesh, num_micro: int, axis: str = "pipe",
     stacked microbatches — cloud (num_micro, mb, N, 3), emb (num_micro,
     mb, N, E), obj (num_micro, mb), q0 (num_micro, mb, 4), t0 (num_micro,
     mb, 3) — returning (num_micro, mb, 4/3) final poses.
+
+    With `batch_axis`, the microbatch dimension (mb) is ADDITIONALLY
+    sharded over that mesh axis — a (data, pipe) composition: each data
+    shard runs its own independent refinement ring over its slice of
+    every microbatch; the ring collectives stay on `axis` only, so the
+    data axis adds zero communication.
     """
     nstages = mesh.shape[axis]
 
@@ -95,21 +101,27 @@ def make_pp_refine(refiner, mesh: Mesh, num_micro: int, axis: str = "pipe",
 
         # initial carries are rewritten device-varyingly on every tick —
         # mark them varying up front so the scan carry type is stable
+        vary_axes = (axis,) + ((batch_axis,) if batch_axis else ())
         init = jax.lax.pcast(
             (jnp.zeros((mb, 4)), jnp.zeros((mb, 3)),
              jnp.zeros((num_micro, mb, 4)), jnp.zeros((num_micro, mb, 3))),
-            (axis,), to="varying")
+            vary_axes, to="varying")
         ticks = jnp.arange(num_micro + nstages - 1)
         (_, _, qbuf, tbuf), _ = jax.lax.scan(tick, init, ticks)
         # only the last stage wrote finished poses; psum replicates them
         return jax.lax.psum(qbuf, axis), jax.lax.psum(tbuf, axis)
 
-    return jax.shard_map(pp_fn, mesh=mesh,
-                         in_specs=(P(),) * 6, out_specs=(P(), P()))
+    mb_spec = P(None, batch_axis)  # ≡ P() when batch_axis is None
+    manual = frozenset(a for a in (axis, batch_axis) if a is not None)
+    return jax.shard_map(
+        pp_fn, mesh=mesh, axis_names=manual,
+        in_specs=(P(), mb_spec, mb_spec, mb_spec, mb_spec, mb_spec),
+        out_specs=(mb_spec, mb_spec))
 
 
 def make_pp_estimate_step(pipe, mesh: Mesh, num_micro: int,
-                          axis: str = "pipe", iters_per_stage: int = 1):
+                          axis: str = "pipe", iters_per_stage: int = 1,
+                          batch_axis: str | None = None):
     """Full pose estimation with pipelined refinement.
 
     Returns step(variables, img, cloud, choose, obj) -> PoseEstimate with
@@ -119,18 +131,27 @@ def make_pp_estimate_step(pipe, mesh: Mesh, num_micro: int,
     every chip is busy in both phases), then the batch is split into
     `num_micro` microbatches that stream through the refinement ring. The
     batch size must divide by num_micro.
+
+    With `batch_axis`, a (data, pipe) composition: the PoseNet phase
+    batch-shards over BOTH axes and the ring keeps each data shard's
+    slice of every microbatch local (make_pp_refine batch_axis).
     """
     from plr2_tpu.pipeline import PoseEstimate
     from plr2_tpu.refine.iterative import initial_pose
 
     refine = make_pp_refine(pipe.refiner, mesh, num_micro, axis,
-                            iters_per_stage)
+                            iters_per_stage, batch_axis=batch_axis)
 
     def step(variables, img, cloud, choose, obj):
         if img.shape[0] % num_micro:
             raise ValueError(
                 f"pipelined refinement needs the batch to divide into "
                 f"microbatches: B={img.shape[0]}, num_micro={num_micro}")
+        if batch_axis and (img.shape[0] // num_micro) % mesh.shape[batch_axis]:
+            raise ValueError(
+                f"composed data sharding needs the microbatch to divide by "
+                f"the '{batch_axis}' axis: mb={img.shape[0] // num_micro}, "
+                f"K={mesh.shape[batch_axis]}")
         pred_r, pred_t, pred_c, emb = pipe.posenet.apply(
             variables["posenet"], img, cloud, choose, obj)
         q0, t0 = initial_pose(pred_r, pred_t, pred_c, cloud)
@@ -141,6 +162,7 @@ def make_pp_estimate_step(pipe, mesh: Mesh, num_micro: int,
         return PoseEstimate(quat=merge(q), trans=merge(t),
                             confidence=jnp.max(pred_c[..., 0], axis=-1))
 
-    data = NamedSharding(mesh, P(axis))
+    spec = P((batch_axis, axis)) if batch_axis else P(axis)
+    data = NamedSharding(mesh, spec)
     repl = NamedSharding(mesh, P())
     return jax.jit(step, in_shardings=(repl, data, data, data, data))

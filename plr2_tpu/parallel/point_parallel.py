@@ -171,7 +171,8 @@ def make_sp_inference_step(pipe, mesh: Mesh, refine_iterations: int = 2,
 
 def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
                        axis: str = "points", sym_slots: int | None = None,
-                       refine_iterations: int = 0):
+                       refine_iterations: int = 0,
+                       data_axis: str | None = None):
     """Training step with the sampled cloud sharded over `axis`.
 
     Mirrors `parallel.data_parallel.make_train_step` with sequence
@@ -195,6 +196,26 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
     distances are computed from replicated (delta-pose, target) tensors
     and come out identical on every shard.
 
+    With `data_axis`, the batch dimension is ADDITIONALLY sharded over
+    that mesh axis — the composed (data, points) recipe. The shard_map
+    goes manual over {data_axis, axis} only; any OTHER mesh axis (e.g.
+    `model`) stays auto, so tensor-parallel committed weight shardings
+    (parallel/tensor_parallel.py) propagate through the body via GSPMD —
+    one program over a 3-D (data, model, points) mesh. Semantics under
+    data sharding:
+
+    * train-mode BN moments sync over `data_axis` (flax `axis_name`,
+      threaded as `bn_axis` through the CNN stack) — bitwise the global
+      moments a single-device batch computes, up to reduction order;
+    * dropout draws per-data-shard masks from
+      `fold_in(dropout_key, shard_index)` — a DEFINED semantics, pinned
+      by comparing mesh layouts with the SAME data-axis size (tp/sp
+      machinery varies, masks stay fixed; tests/test_composed_mesh.py).
+      It is not bit-identical to the single-device global mask, exactly
+      as two dropout seeds are not — the joint refine stage (no dropout,
+      eval-mode BN) IS pinned exactly against the single-device step;
+    * the loss/gradients pmean over points then data.
+
     Returns (init_opt_state, train_step) with make_train_step's
     signature: (variables, opt_state, batch, dropout_key) ->
     (variables, opt_state, {loss, dis}).
@@ -208,9 +229,12 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
     from plr2_tpu.parallel.data_parallel import adam_update
 
     tx = optax.adam(lr)
-    sp_posenet = pipe.posenet.clone(points_axis=axis)
+    # bn_axis only matters for train-mode BN (stage 1); the joint stage
+    # runs the CNN frozen in eval mode (running stats, no sync needed)
+    sp_posenet = pipe.posenet.clone(points_axis=axis, bn_axis=data_axis)
     sp_refiner = pipe.refiner.clone(points_axis=axis)
     k = mesh.shape[axis]
+    kd = mesh.shape[data_axis] if data_axis else 1
     refine_stage = refine_iterations > 0
 
     def init_opt_state(variables):
@@ -218,6 +242,10 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
         return tx.init(variables[target]["params"])
 
     def local_loss(params, batch_stats, batch, dropout_key):
+        if data_axis is not None:
+            # per-data-shard dropout mask (defined semantics, docstring)
+            dropout_key = jax.random.fold_in(
+                dropout_key, jax.lax.axis_index(data_axis))
         (pred_r, pred_t, pred_c, _), mutated = sp_posenet.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["img"], batch["points"], batch["choose"], batch["idx"],
@@ -228,6 +256,8 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
                         w=w, refine=False, sym_list=tuple(sym_list),
                         max_sym_slots=sym_slots)
         loss = jax.lax.pmean(out.loss, axis)  # mean over (B, N) points
+        if data_axis is not None:
+            loss = jax.lax.pmean(loss, data_axis)  # then over batch shards
         # metric candidates leave the mapped fn SHARDED (the winner
         # selection happens outside — pmax/pmin collectives have no
         # autodiff rules, and even aux outputs are traced by jvp)
@@ -280,19 +310,32 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
                              sym_list=tuple(sym_list))
             new_points, new_target = ro.new_points, ro.new_target
             loss = loss + jnp.mean(ro.dis)
-        # dr/dt are replicated (the refiner pool pmeans across shards),
-        # so dis and loss are shard-invariant — no pmean needed
-        return loss, jnp.mean(ro.dis)
+        # dr/dt are replicated over the points shards (the refiner pool
+        # pmeans across them), so dis and loss are points-invariant; with
+        # a sharded batch they still vary per data shard — average them
+        if data_axis is not None:
+            loss = jax.lax.pmean(loss, data_axis)
+            dis = jax.lax.pmean(jnp.mean(ro.dis), data_axis)
+        else:
+            dis = jnp.mean(ro.dis)
+        return loss, dis
 
-    sharded = P(None, axis)
-    batch_specs = {"img": P(), "points": sharded, "choose": sharded,
-                   "target": P(), "model_points": P(), "idx": P()}
+    sharded = P(data_axis, axis)
+    batch_specs = {"img": P(data_axis), "points": sharded,
+                   "choose": sharded, "target": P(data_axis),
+                   "model_points": P(data_axis), "idx": P(data_axis)}
+    # manual over the data/points axes only; other mesh axes (model)
+    # stay auto so tp weight shardings propagate via GSPMD
+    manual = frozenset(a for a in (data_axis, axis) if a is not None)
+    # cand dim 1 concatenates points-major then data — reshape(2, k, -1)
+    # recovers (points shard, global sample) in global batch order
+    cand_spec = P(None, (axis,) if data_axis is None else (axis, data_axis))
     mapped = jax.shard_map(
-        local_loss, mesh=mesh,
+        local_loss, mesh=mesh, axis_names=manual,
         in_specs=(P(), P(), batch_specs, P()),
-        out_specs=(P(), (P(), P(None, axis))))
+        out_specs=(P(), (P(), cand_spec)))
     mapped_refine = jax.shard_map(
-        local_refine_loss, mesh=mesh,
+        local_refine_loss, mesh=mesh, axis_names=manual,
         in_specs=(P(), P(), batch_specs), out_specs=(P(), P()))
 
     def train_step(variables, opt_state, batch, dropout_key):
@@ -301,6 +344,11 @@ def make_sp_train_step(pipe, mesh: Mesh, sym_list, w: float, lr: float,
                 f"sequence parallelism needs the point count to divide by "
                 f"the '{axis}' axis size: N={batch['points'].shape[1]}, "
                 f"K={k}")
+        if batch["img"].shape[0] % kd:
+            raise ValueError(
+                f"composed data sharding needs the batch to divide by the "
+                f"'{data_axis}' axis size: B={batch['img'].shape[0]}, "
+                f"K={kd}")
         pn = variables["posenet"]
         if refine_stage:
             rf_params = variables["refiner"]["params"]
