@@ -9,6 +9,7 @@ from plr2_tpu.data.preprocess import (  # noqa: F401
 from plr2_tpu.data.loader import (  # noqa: F401
     raw_to_sample,
     SyntheticPoseDataset,
+    SyntheticSceneDataset,
     iterate_samples,
     stack_samples,
 )

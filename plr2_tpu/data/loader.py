@@ -99,6 +99,59 @@ class SyntheticPoseDataset:
         )
 
 
+class SyntheticSceneDataset:
+    """Scene dataset over a FIXED model library (config-5 journey,
+    tools/journey_config5.py): every frame renders a random subset of the
+    same `models` (1-based ids), so object identities persist across
+    frames — the YCB-style regime where a 21-way per-object head can
+    actually learn per-object features. Same `get_raw` contract as the
+    real loaders plus `frames`/`models` for the full-pipeline evaluator
+    (eval/full_pipeline.evaluate_full_pipeline consumes SyntheticFrame's
+    color/depth/label/poses/intrinsics directly)."""
+
+    def __init__(self, models: Dict[int, np.ndarray], num_frames: int,
+                 objects_per_frame: int = 5, num_points: int = 1000,
+                 seed: int = 0, img_h: int = 480, img_w: int = 640):
+        self.num_points = num_points
+        self.models = dict(models)
+        self.frames: List[synth.SyntheticFrame] = []
+        self.items: List[Dict] = []
+        rng = np.random.default_rng(seed)
+        ids = np.asarray(sorted(models))
+        for f in range(num_frames):
+            k = min(objects_per_frame, len(ids))
+            visible = rng.choice(ids, size=k, replace=False)
+            frame = synth.make_library_scene(
+                self.models, sorted(int(i) for i in visible),
+                seed=seed * 7919 + f, img_h=img_h, img_w=img_w)
+            fi = len(self.frames)
+            self.frames.append(frame)
+            for obj_id in frame.poses:
+                self.items.append({"frame": fi, "obj": obj_id})
+        self.diameters = {
+            obj_id - 1: float(np.linalg.norm(m.max(0) - m.min(0)))
+            for obj_id, m in self.models.items()
+        }
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def get_raw(self, i: int) -> Dict:
+        it = self.items[i]
+        frame = self.frames[it["frame"]]
+        obj = it["obj"]
+        r, t = frame.poses[obj]
+        return dict(
+            color=frame.color,
+            depth=frame.depth.astype(np.float32),
+            mask=(frame.label == obj) & (frame.depth > 0),
+            target_r=r, target_t=t,
+            model_points=self.models[obj],
+            obj_idx=obj - 1,
+            intrinsics=frame.intrinsics,
+        )
+
+
 def iterate_samples(dataset, key: jax.Array, num_points: int,
                     add_noise: bool = False, shuffle: bool = False,
                     seed: int = 0) -> Iterator[Sample]:

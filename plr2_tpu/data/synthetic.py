@@ -106,6 +106,69 @@ def render_frame(
                           poses=dict(poses), intrinsics=intr)
 
 
+def knobbed_box_model_points(n: int, extent=(0.04, 0.05, 0.06),
+                             seed: int = 0) -> np.ndarray:
+    """Box surface with a protruding knob near one corner of the +x face.
+
+    A plain cuboid has a 4-element rotational symmetry group (180° about
+    each axis) that a flat-colored splat cannot disambiguate — an ADD
+    (non-symmetric) metric then has an irreducible floor. The knob breaks
+    every one of those symmetries, so objects OUTSIDE the symmetric
+    subset are genuinely pose-identifiable from geometry, like the
+    asymmetric YCB meshes (config-5 journey, tools/journey_config5.py)."""
+    rng = np.random.default_rng(seed)
+    base = box_model_points(n - n // 6, extent, seed=seed)
+    ex, ey, ez = extent
+    k = n - len(base)
+    # hemisphere of radius ~0.35*ey sticking out of the +x face corner
+    phi = rng.uniform(0, 2 * np.pi, k)
+    cos_th = rng.uniform(0, 1, k)
+    sin_th = np.sqrt(1 - cos_th**2)
+    rad = 0.35 * ey
+    knob = np.stack([
+        ex + rad * cos_th,
+        0.5 * ey + rad * sin_th * np.cos(phi),
+        0.5 * ez + rad * sin_th * np.sin(phi),
+    ], axis=1).astype(np.float32)
+    return np.concatenate([base, knob]).astype(np.float32)
+
+
+def make_model_library(num_objects: int, model_points: int = 500,
+                       seed: int = 0,
+                       sym_ids: Tuple[int, ...] = ()) -> Dict[int, np.ndarray]:
+    """Fixed 1-based-id model library shared across frames (unlike
+    make_scene, which regenerates models per frame): symmetric ids get
+    plain boxes (their cuboid symmetry group is real, scored with ADD-S),
+    all others get knobbed asymmetric boxes."""
+    rng = np.random.default_rng(seed)
+    lib = {}
+    for i in range(1, num_objects + 1):
+        ext = tuple(rng.uniform(0.03, 0.065, 3))
+        maker = box_model_points if i in sym_ids else knobbed_box_model_points
+        lib[i] = maker(model_points, ext, seed=seed * 100 + i)
+    return lib
+
+
+def make_library_scene(models: Dict[int, np.ndarray],
+                       visible_ids, seed: int,
+                       img_h: int = 480, img_w: int = 640,
+                       intrinsics: Dict[str, float] | None = None
+                       ) -> SyntheticFrame:
+    """Render a frame of library objects at random poses, spread
+    laterally so masks don't fully overlap."""
+    rng = np.random.default_rng(seed)
+    visible_ids = list(visible_ids)
+    poses = {}
+    for j, i in enumerate(visible_ids):
+        r, t = random_pose(rng)
+        if len(visible_ids) > 1:
+            t[0] = -0.18 + 0.36 * j / (len(visible_ids) - 1)
+        poses[i] = (r, t)
+    return render_frame({i: models[i] for i in visible_ids}, poses,
+                        img_h=img_h, img_w=img_w, intrinsics=intrinsics,
+                        seed=seed)
+
+
 def random_pose(rng: np.random.Generator,
                 z_range=(0.6, 1.1)) -> Tuple[np.ndarray, np.ndarray]:
     r = tfs.random_rotation_matrix(rng.random(3))[:3, :3].astype(np.float32)
