@@ -83,16 +83,23 @@ def build_datasets(args):
                                      objects_per_frame=args.per_frame,
                                      num_points=args.num_points,
                                      seed=args.seed)
-    # different seed stream -> novel poses/compositions of the SAME library
+    # different seed streams -> novel poses/compositions of the SAME
+    # library. The VAL set gates curriculum/model selection during fit;
+    # the TEST set is only ever touched by the final full-pipeline eval
+    # (train_synthetic_e2e's disjoint --test_seed discipline).
+    val_ds = SyntheticSceneDataset(models, max(2, args.test_frames // 2),
+                                   objects_per_frame=args.per_frame,
+                                   num_points=args.num_points,
+                                   seed=args.seed + 57)
     test_ds = SyntheticSceneDataset(models, args.test_frames,
                                     objects_per_frame=args.per_frame,
                                     num_points=args.num_points,
                                     seed=args.seed + 31)
     sym_list = tuple(i - 1 for i in sym_ids)  # 0-based
-    return models, train_ds, test_ds, sym_list
+    return models, train_ds, val_ds, test_ds, sym_list
 
 
-def train_posenet(args, train_ds, test_ds, sym_list, log):
+def train_posenet(args, train_ds, val_ds, sym_list, log):
     import jax
 
     from plr2_tpu.config import (DatasetConfig, ModelConfig, PipelineConfig,
@@ -116,7 +123,7 @@ def train_posenet(args, train_ds, test_ds, sym_list, log):
     state = trainer.init_state(jax.random.key(args.seed))
     ckpt = CheckpointManager(args.outf)
     state = trainer.fit(
-        state, train_ds, test_ds, jax.random.key(args.seed + 1),
+        state, train_ds, val_ds, jax.random.key(args.seed + 1),
         epochs=args.epochs, log_fn=log,
         checkpoint_fn=lambda s, d: ckpt.save(s, d),
         save_last_fn=lambda s: ckpt.save(s, s.best_test, tag="last"))
@@ -216,14 +223,14 @@ def main(argv=None):
         print(msg, flush=True)
 
     t0 = time.time()
-    models, train_ds, test_ds, sym_list = build_datasets(args)
+    models, train_ds, val_ds, test_ds, sym_list = build_datasets(args)
     log(f"library: {args.objects} objects (sym 0-based {sym_list}); "
-        f"{len(train_ds)} train / {len(test_ds)} test samples over "
-        f"{args.train_frames}/{args.test_frames} frames "
-        f"({time.time() - t0:.0f}s)")
+        f"{len(train_ds)} train / {len(val_ds)} val / {len(test_ds)} test "
+        f"samples over {args.train_frames}/{len(val_ds.frames)}/"
+        f"{args.test_frames} frames ({time.time() - t0:.0f}s)")
 
     t1 = time.time()
-    trainer, state, best = train_posenet(args, train_ds, test_ds, sym_list,
+    trainer, state, best = train_posenet(args, train_ds, val_ds, sym_list,
                                          log)
     t_train = time.time() - t1
     log(f"posenet+refiner training: {t_train:.0f}s "
