@@ -50,7 +50,8 @@ class CheckpointManager:
         self._ocp = ocp
         self._ckptr = ocp.PyTreeCheckpointer()
 
-    def save(self, state, test_dis: float, tag: str = "best") -> str:
+    def save(self, state, test_dis: float, tag: str = "best",
+             stable_export: Optional[bool] = None) -> str:
         path = os.path.join(self.directory, tag)
         payload = {
             "variables": _to_numpy_tree(state.variables),
@@ -70,11 +71,18 @@ class CheckpointManager:
         # even for identical weights (VERDICT r4 weak #3). The msgpack
         # bytes are a pure function of the payload — git-tracked showcase
         # checkpoints only change when the weights do. The Orbax dirs are
-        # the runtime/distributed format and are gitignored.
-        from flax import serialization
+        # the runtime/distributed format and are gitignored. Default: on
+        # for 'best' (the tracked showcase tag), off for rolling tags
+        # ('last' fires EVERY epoch; a second ~100 MB serialization per
+        # epoch is pure IO tax on long runs — the Orbax dir is the
+        # crash-resume source, and restore() prefers it anyway).
+        if stable_export is None:
+            stable_export = tag == "best"
+        if stable_export:
+            from flax import serialization
 
-        with open(path + ".msgpack", "wb") as f:
-            f.write(serialization.to_bytes(payload))
+            with open(path + ".msgpack", "wb") as f:
+                f.write(serialization.to_bytes(payload))
         return path
 
     def restore(self, tag: str = "best") -> Optional[Dict[str, Any]]:

@@ -43,8 +43,9 @@ def test_journey_chain_shrunk_scale(tmp_path, capsys):
 
     # artifacts: best+last checkpoints (stable msgpack), per-frame .mat
     # exports, distance report, summary
-    assert (outf / "best.msgpack").exists()
-    assert (outf / "last.msgpack").exists()
+    assert (outf / "best.msgpack").exists()   # stable tracked export
+    assert (outf / "last").is_dir()           # rolling Orbax crash-resume
+    assert not (outf / "last.msgpack").exists()  # no per-epoch IO tax
     mats = sorted(os.listdir(outf / "mat"))
     assert mats == ["000000.mat", "000001.mat"]
     report = json.loads((outf / "distance_report.json").read_text())

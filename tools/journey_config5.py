@@ -61,6 +61,15 @@ def parse_args(argv=None):
     p.add_argument("--outf", type=str, default="trained_models/journey_c5")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--decay_margin", type=float, default=0.016)
+    p.add_argument("--refine_margin", type=float, default=0.013,
+                   help="the reference thresholds are sized to real-data "
+                        "difficulty; size them to the synthetic task "
+                        "(README status table, e2e precedent) so the "
+                        "switch MECHANISM is exercised at a reachable "
+                        "operating point")
+    p.add_argument("--resume", action="store_true",
+                   help="resume posenet training from <outf>/best")
     p.add_argument("--force_switches", action="store_true",
                    help="set both curriculum margins to +inf so the decay "
                         "and refine switches fire on the first test epochs "
@@ -117,11 +126,17 @@ def train_posenet(args, train_ds, val_ds, sym_list, log):
         train=TrainConfig(batch_size=args.batch, lr=args.lr,
                           nepoch=args.epochs,
                           repeat_epoch=args.repeat_epoch,
-                          decay_margin=inf if args.force_switches else 0.016,
-                          refine_margin=inf if args.force_switches else 0.013))
+                          decay_margin=(inf if args.force_switches
+                                        else args.decay_margin),
+                          refine_margin=(inf if args.force_switches
+                                         else args.refine_margin)))
     trainer = BatchTrainer(cfg)
     state = trainer.init_state(jax.random.key(args.seed))
     ckpt = CheckpointManager(args.outf)
+    if args.resume:
+        state = ckpt.restore_into(state, "best")
+        log(f"resumed from {args.outf}/best: epoch {state.epoch}, "
+            f"best={state.best_test:.5f}, refine={state.refine_started}")
     state = trainer.fit(
         state, train_ds, val_ds, jax.random.key(args.seed + 1),
         epochs=args.epochs, log_fn=log,

@@ -49,6 +49,10 @@ def parse_args():
     p.add_argument("--log_dir", type=str, default="experiments/logs")
     p.add_argument("--synthetic", action="store_true",
                    help="train on generated fixtures (no dataset_root needed)")
+    p.add_argument("--synthetic_frames", type=int, default=4,
+                   help="synthetic train-set size in frames (2 samples per "
+                        "frame); the soak runs use a few hundred so an "
+                        "epoch is dominated by training, not bookkeeping")
     p.add_argument("--batched", action="store_true",
                    help="batched throughput mode (one XLA program per "
                         "optimizer step) instead of the reference-faithful "
@@ -145,10 +149,12 @@ def main():
 
     if args.synthetic:
         np_ = cfg.model.num_points
-        train_ds = SyntheticPoseDataset(num_frames=4, num_objects=2,
+        train_ds = SyntheticPoseDataset(num_frames=args.synthetic_frames,
+                                        num_objects=2,
                                         model_points=cfg.dataset.num_mesh_points,
                                         num_points=np_, seed=args.seed)
-        test_ds = SyntheticPoseDataset(num_frames=2, num_objects=2,
+        test_ds = SyntheticPoseDataset(num_frames=max(2, args.synthetic_frames // 8),
+                                       num_objects=2,
                                        model_points=cfg.dataset.num_mesh_points,
                                        num_points=np_, seed=args.seed + 1)
     elif args.dataset == "linemod":
