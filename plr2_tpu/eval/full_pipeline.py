@@ -137,6 +137,16 @@ def evaluate_full_pipeline(
                 mask=mask, target_r=r_gt, target_t=t_gt,
                 model_points=models[obj_id], obj_idx=obj_id - 1,
                 intrinsics=frame.intrinsics, bbox=bbox)
+            if seg_predict is not None and bbox is None:
+                # predicted-mask protocol (upstream mask_to_bbox, same as
+                # tools/eval_linemod.py --segnet_results): the crop window
+                # snaps from the LARGEST connected blob of the predicted
+                # label, so stray false-positive pixels elsewhere in the
+                # frame cannot inflate the bbox; the depth-intersected
+                # mask above still drives point sampling
+                from plr2_tpu.data.linemod import largest_component_mask
+
+                raw["bbox_mask"] = largest_component_mask(label == obj_id)
             # (frame, object-id)-derived key — the same derivation the
             # device pipeline uses (serving.py _frame_samples), so the
             # stochastic subsample path stays bit-exact host==device

@@ -78,6 +78,38 @@ def test_full_pipeline_with_segnet_masks():
     assert res.num_objects >= 1
 
 
+def test_predicted_mask_bbox_ignores_stray_blob():
+    """Predicted-mask protocol (upstream mask_to_bbox parity, same as
+    tools/eval_linemod.py --segnet_results): the crop window snaps from
+    the LARGEST connected blob of the predicted label. A stray
+    false-positive blob in a far corner (over background, depth 0 — so
+    point sampling is untouched either way) must leave the result
+    bit-identical to the GT-mask run; without the blob rule the bbox
+    spans both blobs and the crop geometry (hence the pose) changes."""
+    frame, models = make_scene(num_objects=1, model_points=128, seed=21)
+    pipe = DenseFusionPipeline(num_points=96, num_objects=4)
+    variables = pipe.init(jax.random.key(0), crop_hw=80, batch=1)
+
+    noisy = frame.label.copy()
+    # far-corner stray blob of the same object id, over empty background
+    assert frame.depth[:12, :12].max() == 0
+    noisy[2:10, 2:10] = 1
+
+    clean = frame.label.copy()
+    ref = evaluate_full_pipeline(
+        pipe, variables, [frame], models, sym_list=(),
+        refine_iterations=2, num_points=96,
+        seg_predict=lambda color: clean)
+    res = evaluate_full_pipeline(
+        pipe, variables, [frame], models, sym_list=(),
+        refine_iterations=2, num_points=96,
+        seg_predict=lambda color: noisy)
+    assert res.lost_detections == 0
+    np.testing.assert_array_equal(
+        np.asarray(res.per_object_distances[1]),
+        np.asarray(ref.per_object_distances[1]))
+
+
 def test_pspnet_segmenter_arch_trains():
     """build_segmenter('pspnet') (light serving segmenter) runs through the
     same SegTrainer: BN stats + dropout rng handled, loss decreases."""

@@ -54,7 +54,7 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--epochs", type=int, default=80)
     p.add_argument("--repeat_epoch", type=int, default=2)
-    p.add_argument("--seg_epochs", type=int, default=8)
+    p.add_argument("--seg_epochs", type=int, default=24)
     p.add_argument("--seg_batch", type=int, default=4)
     p.add_argument("--refine_iterations", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -164,6 +164,10 @@ def train_segnet(args, train_ds, test_ds, log):
         st = seg.train_epoch(st, train_ds.frames, seed=args.seed * 100 + e)
         log(f"segnet epoch {e + 1}: loss={st['last_epoch_loss']:.4f} "
             f"({st['seconds']:.1f}s)")
+    from plr2_tpu.train.checkpoint import save_variables
+
+    save_variables(os.path.join(args.outf, "segnet.msgpack"),
+                   st["variables"])
     # held-out pixel accuracy on full frames (pad-to-32 predict path)
     accs = []
     for fr in test_ds.frames[:8]:
