@@ -111,19 +111,26 @@ class SyntheticSceneDataset:
 
     def __init__(self, models: Dict[int, np.ndarray], num_frames: int,
                  objects_per_frame: int = 5, num_points: int = 1000,
-                 seed: int = 0, img_h: int = 480, img_w: int = 640):
+                 seed: int = 0, img_h: int = 480, img_w: int = 640,
+                 distinct_colors: bool = False):
         self.num_points = num_points
         self.models = dict(models)
         self.frames: List[synth.SyntheticFrame] = []
         self.items: List[Dict] = []
         rng = np.random.default_rng(seed)
         ids = np.asarray(sorted(models))
+        # distinct_colors: well-separated HSV palette instead of the
+        # id-hash colors whose near-collision pairs cap per-pixel
+        # object-identity segmentation (synthetic.distinct_palette)
+        palette = (synth.distinct_palette(int(ids.max()))
+                   if distinct_colors else None)
         for f in range(num_frames):
             k = min(objects_per_frame, len(ids))
             visible = rng.choice(ids, size=k, replace=False)
             frame = synth.make_library_scene(
                 self.models, sorted(int(i) for i in visible),
-                seed=seed * 7919 + f, img_h=img_h, img_w=img_w)
+                seed=seed * 7919 + f, img_h=img_h, img_w=img_w,
+                colors=palette)
             fi = len(self.frames)
             self.frames.append(frame)
             for obj_id in frame.poses:

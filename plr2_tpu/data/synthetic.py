@@ -54,6 +54,26 @@ class SyntheticFrame:
     intrinsics: Dict[str, float]
 
 
+def distinct_palette(num_objects: int) -> Dict[int, np.ndarray]:
+    """1-based id -> RGB uint8, maximally separated on an HSV wheel.
+
+    The default id-hash palette below produces near-collision CHAINS
+    (ids i and i+6 land ~30/441 apart; measured round 5: a SegNet
+    confuses exactly those pairs, capping foreground accuracy at ~46%
+    on 21 objects). Real YCB objects are visually distinct; this palette
+    restores that property for library-scene runs."""
+    import colorsys
+
+    out = {}
+    for i in range(1, num_objects + 1):
+        h = (i - 1) / num_objects
+        s = 0.85 if i % 2 else 0.55
+        v = 0.95 if i % 3 else 0.55
+        rgb = colorsys.hsv_to_rgb(h, s, v)
+        out[i] = (np.asarray(rgb) * 255).astype(np.uint8)
+    return out
+
+
 def render_frame(
     objects: Dict[int, np.ndarray],
     poses: Dict[int, Tuple[np.ndarray, np.ndarray]],
@@ -62,6 +82,7 @@ def render_frame(
     intrinsics: Dict[str, float] | None = None,
     densify: int = 12,
     seed: int = 0,
+    colors: Dict[int, np.ndarray] | None = None,
 ) -> SyntheticFrame:
     """Z-buffer splat each posed model into depth/label/color.
 
@@ -95,9 +116,10 @@ def render_frame(
         u, v, zz = u[closer], v[closer], zz[closer]
         zbuf[v, u] = zz
         label[v, u] = obj_id
-        base = np.array([(obj_id * 67) % 200 + 55,
-                         (obj_id * 131) % 200 + 55,
-                         (obj_id * 29) % 200 + 55], dtype=np.uint8)
+        base = (np.asarray(colors[obj_id], np.uint8) if colors is not None
+                else np.array([(obj_id * 67) % 200 + 55,
+                               (obj_id * 131) % 200 + 55,
+                               (obj_id * 29) % 200 + 55], dtype=np.uint8))
         color[v, u] = base
 
     depth = np.where(np.isfinite(zbuf), zbuf * intr["cam_scale"], 0.0)
@@ -152,7 +174,8 @@ def make_model_library(num_objects: int, model_points: int = 500,
 def make_library_scene(models: Dict[int, np.ndarray],
                        visible_ids, seed: int,
                        img_h: int = 480, img_w: int = 640,
-                       intrinsics: Dict[str, float] | None = None
+                       intrinsics: Dict[str, float] | None = None,
+                       colors: Dict[int, np.ndarray] | None = None
                        ) -> SyntheticFrame:
     """Render a frame of library objects at random poses, spread
     laterally so masks don't fully overlap."""
@@ -166,7 +189,7 @@ def make_library_scene(models: Dict[int, np.ndarray],
         poses[i] = (r, t)
     return render_frame({i: models[i] for i in visible_ids}, poses,
                         img_h=img_h, img_w=img_w, intrinsics=intrinsics,
-                        seed=seed)
+                        seed=seed, colors=colors)
 
 
 def random_pose(rng: np.random.Generator,

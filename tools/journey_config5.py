@@ -70,6 +70,13 @@ def parse_args(argv=None):
                         "operating point")
     p.add_argument("--resume", action="store_true",
                    help="resume posenet training from <outf>/best")
+    p.add_argument("--distinct_colors", action="store_true",
+                   help="well-separated object palette (YCB objects are "
+                        "visually distinct; the default id-hash colors "
+                        "have near-collision pairs that cap segmentation "
+                        "identity accuracy — measured round 5). NOT "
+                        "checkpoint-compatible with runs trained on the "
+                        "default palette")
     p.add_argument("--force_switches", action="store_true",
                    help="set both curriculum margins to +inf so the decay "
                         "and refine switches fire on the first test epochs "
@@ -91,7 +98,8 @@ def build_datasets(args):
     train_ds = SyntheticSceneDataset(models, args.train_frames,
                                      objects_per_frame=args.per_frame,
                                      num_points=args.num_points,
-                                     seed=args.seed)
+                                     seed=args.seed,
+                                     distinct_colors=args.distinct_colors)
     # different seed streams -> novel poses/compositions of the SAME
     # library. The VAL set gates curriculum/model selection during fit;
     # the TEST set is only ever touched by the final full-pipeline eval
@@ -99,11 +107,13 @@ def build_datasets(args):
     val_ds = SyntheticSceneDataset(models, max(2, args.test_frames // 2),
                                    objects_per_frame=args.per_frame,
                                    num_points=args.num_points,
-                                   seed=args.seed + 57)
+                                   seed=args.seed + 57,
+                                   distinct_colors=args.distinct_colors)
     test_ds = SyntheticSceneDataset(models, args.test_frames,
                                     objects_per_frame=args.per_frame,
                                     num_points=args.num_points,
-                                    seed=args.seed + 31)
+                                    seed=args.seed + 31,
+                                    distinct_colors=args.distinct_colors)
     sym_list = tuple(i - 1 for i in sym_ids)  # 0-based
     return models, train_ds, val_ds, test_ds, sym_list
 
